@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def allQueries: Seq[GateQuery] =
-    RelationalQueries.defs ++ ScoreQueries.defs
+    RelationalQueries.defs ++ ScoreQueries.defs ++ AlgorithmQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

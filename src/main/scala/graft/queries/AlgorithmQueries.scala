@@ -1,0 +1,58 @@
+package graft.queries
+
+import graft.algorithms.{Adtributor, RevRecAdtributor, RiskLoc}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gate queries that run the full localization algorithms end-to-end on an
+  * anomaly-injected leaf snapshot derived from the harness tables. The
+  * anomaly (real scaled 2x inside brand=Brand#19 & rf=R) and the
+  * deterministic per-leaf forecast noise (murmur3 of the attribute values)
+  * are fixed, so results are stable across runs; these entries are
+  * rows-only checks (driver records a non-SQL-expressible op).
+  */
+object AlgorithmQueries {
+
+  /** Snapshot with a known injected anomaly. predict carries ±2.5%
+    * value-hash noise so deviations spread as in real forecasts. */
+  def anomalousSnapshot(s: SparkSession, dir: String): DataFrame =
+    ScoreQueries.snapshot(s, dir)
+      .select(col("rf"), col("ls"), col("brand"),
+        (col("vreal") * when(col("brand") === "Brand#19" && col("rf") === "R", 2.0)
+          .otherwise(1.0)).as("real"),
+        (col("vreal") * (lit(1.0) +
+          (pmod(hash(col("rf"), col("ls"), col("brand")), lit(1000)) / 1000.0 - 0.5) * 0.05))
+          .as("predict"))
+
+  private val attrs = Seq("brand", "ls", "rf")
+
+  val defs: Seq[GateQuery] = Seq(
+
+    GateQuery.rowsOnly("q40_riskloc") { (s, dir) =>
+      import s.implicits._
+      val rcs = RiskLoc.run(anomalousSnapshot(s, dir), attrs)
+      rcs.map(rc => (rc.labels.mkString(";"), rc.layer,
+        math.floor(rc.scores("risk") * 1e6) / 1e6))
+        .toDF("root_cause", "layer", "risk")
+        .orderBy("root_cause")
+    },
+
+    GateQuery.rowsOnly("q41_adtributor") { (s, dir) =>
+      import s.implicits._
+      val cands = Adtributor.run(anomalousSnapshot(s, dir), attrs,
+        Adtributor.Options(teep = 0.05, tep = 0.1, k = 3))
+      cands.map(c => (c.dimension, c.elements.mkString(";"),
+        math.floor(c.explanatoryPower * 1e6) / 1e6))
+        .toDF("dimension", "elements", "ep")
+        .orderBy("dimension")
+    },
+
+    GateQuery.rowsOnly("q42_revrec_adtributor") { (s, dir) =>
+      import s.implicits._
+      val preds = RevRecAdtributor.predictions(
+        RevRecAdtributor.run(anomalousSnapshot(s, dir), attrs,
+          RevRecAdtributor.Options(teep = 0.1)))
+      preds.toDF("root_cause").orderBy("root_cause")
+    },
+  )
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.algorithms.{Adtributor, RevRecAdtributor, RiskLoc}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Replays the reference implementation's outputs (goldens produced by
+  * tools/make_fixtures.py running /root/reference code on seeded synthetic
+  * snapshots) against the Spark engine. */
+class FixtureSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val fixturesDir = getClass.getResource("/fixtures").getPath
+
+  private val schema = StructType(Seq(
+    StructField("a", StringType), StructField("b", StringType), StructField("c", StringType),
+    StructField("real", DoubleType), StructField("predict", DoubleType)))
+
+  private def fixture(name: String): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(s"$fixturesDir/$name.csv").cache()
+
+  private val golden: Map[(String, String), Seq[String]] =
+    scala.io.Source.fromFile(s"$fixturesDir/golden.tsv").getLines().map { line =>
+      val Array(fix, algo, preds) = line.split("\t", 3)
+      (fix, algo) -> preds.split(";").toSeq.sorted
+    }.toMap
+
+  private val attrs = Seq("a", "b", "c")
+
+  private def check(fix: String, algo: String, preds: Seq[String]): Unit =
+    assert(preds.sorted == golden((fix, algo)), s"$fix/$algo")
+
+  test("riskloc default matches reference on fixture1") {
+    check("fixture1", "riskloc_default",
+      RiskLoc.predictions(RiskLoc.run(fixture("fixture1"), attrs)))
+  }
+
+  test("riskloc rt=0.3 matches reference on fixture1") {
+    check("fixture1", "riskloc_rt03",
+      RiskLoc.predictions(RiskLoc.run(fixture("fixture1"), attrs,
+        RiskLoc.Options(riskThreshold = 0.3))))
+  }
+
+  test("riskloc default matches reference on fixture2 (layer-2 composite)") {
+    check("fixture2", "riskloc_default",
+      RiskLoc.predictions(RiskLoc.run(fixture("fixture2"), attrs)))
+  }
+
+  test("adtributor default matches reference on fixture1") {
+    check("fixture1", "adtributor_default",
+      Adtributor.predictions(Adtributor.run(fixture("fixture1"), attrs)))
+  }
+
+  test("adtributor low thresholds matches reference on fixture2") {
+    check("fixture2", "adtributor_low",
+      Adtributor.predictions(Adtributor.run(fixture("fixture2"), attrs,
+        Adtributor.Options(teep = 0.05, tep = 0.1))))
+  }
+
+  test("rev-rec adtributor matches reference on fixture1") {
+    check("fixture1", "rev_rec_default",
+      RevRecAdtributor.predictions(RevRecAdtributor.run(fixture("fixture1"), attrs,
+        RevRecAdtributor.Options(teep = 0.1))))
+  }
+
+  test("rev-rec adtributor matches reference on fixture2") {
+    check("fixture2", "rev_rec_default",
+      RevRecAdtributor.predictions(RevRecAdtributor.run(fixture("fixture2"), attrs,
+        RevRecAdtributor.Options(teep = 0.1))))
+  }
+}

@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Dev-only fixture builder: deterministic synthetic snapshots (numpy seed)
++ golden outputs from running the REFERENCE implementation on them.
+Fixtures go to src/test/resources/fixtures/; ScalaTest replays them.
+Run from /root/repo: python3 tools/make_fixtures.py"""
+import json, os, sys
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/reference")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "shims"))
+from algorithms.adtributor import adtributor
+from algorithms.rev_rec_adtributor import rev_rec_adtributor
+from algorithms.riskloc import riskloc
+from algorithms.autoroot import autoroot
+from utils.evaluation import root_cause_postprocessing
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "src", "test", "resources", "fixtures")
+os.makedirs(OUT, exist_ok=True)
+
+
+def make_snapshot(seed, dims, anomalies, noise=0.01, alpha=0.5):
+    """Cartesian product snapshot: real~weibull, predict=real*(1+noise),
+    then real scaled inside anomalous elements (anomaly -> real deviates)."""
+    rng = np.random.default_rng(seed)
+    idx = pd.MultiIndex.from_product(
+        [[f"{d}{i}" for i in range(card)] for d, card in dims],
+        names=[d for d, _ in dims])
+    df = pd.DataFrame(index=idx).reset_index()
+    n = len(df)
+    df["real"] = rng.weibull(alpha, n) * 100
+    df["predict"] = np.maximum(df["real"] * (1 + rng.normal(0, noise, n)), 0)
+    for cond, scale in anomalies:
+        mask = np.logical_and.reduce([(df[k] == v).values for k, v in cond.items()])
+        df.loc[mask, "real"] = df.loc[mask, "real"] * scale
+    # round to keep CSV round-trip exact
+    df["real"] = df["real"].round(6)
+    df["predict"] = df["predict"].round(6)
+    return df
+
+
+def golden(df, runs):
+    out = {}
+    for name, algo, kwargs in runs:
+        rcs = algo(df.copy(), **kwargs)
+        algo_kind = ("adtributor" if algo is adtributor else
+                     "rev_rec_adtributor" if algo is rev_rec_adtributor else
+                     "autoroot" if algo is autoroot else "riskloc")
+        preds = root_cause_postprocessing(rcs, algo_kind)
+        out[name] = sorted(preds.tolist())
+    return out
+
+
+def main():
+    dims = [("a", 5), ("b", 4), ("c", 3)]
+    attrs = ["a", "b", "c"]  # sorted, as the engine discovers them
+
+    # fixture1: one strong single-dimension anomaly (a=a1 scaled 3x)
+    f1 = make_snapshot(7, dims, [({"a": "a1"}, 3.0)])
+    f1.to_csv(f"{OUT}/fixture1.csv", index=False)
+    g1 = golden(f1, [
+        ("riskloc_default", riskloc, dict(attributes=attrs)),
+        ("riskloc_rt03", riskloc, dict(attributes=attrs, risk_threshold=0.3)),
+        ("adtributor_default", adtributor, dict(dimensions=attrs)),
+        ("rev_rec_default", rev_rec_adtributor, dict(dimensions=attrs)),
+        ("autoroot_default", autoroot, dict(attributes=attrs, delta_threshold=0.25)),
+    ])
+
+    # fixture2: a layer-2 composite anomaly (b=b2 & c=c1 scaled 4x) plus a
+    # weaker single-dim one (a=a3 scaled 2x)
+    f2 = make_snapshot(13, dims, [({"b": "b2", "c": "c1"}, 4.0), ({"a": "a3"}, 2.0)])
+    f2.to_csv(f"{OUT}/fixture2.csv", index=False)
+    g2 = golden(f2, [
+        ("riskloc_default", riskloc, dict(attributes=attrs)),
+        ("adtributor_low", adtributor, dict(dimensions=attrs, teep=0.05, tep=0.1)),
+        ("rev_rec_default", rev_rec_adtributor, dict(dimensions=attrs)),
+        ("autoroot_default", autoroot, dict(attributes=attrs, delta_threshold=0.25)),
+    ])
+
+    with open(f"{OUT}/golden.json", "w") as f:
+        json.dump({"fixture1": g1, "fixture2": g2}, f, indent=2)
+    with open(f"{OUT}/golden.tsv", "w") as f:
+        for fix, g in [("fixture1", g1), ("fixture2", g2)]:
+            for name, preds in g.items():
+                f.write(f"{fix}\t{name}\t{';'.join(preds)}\n")
+    print(json.dumps({"fixture1": g1, "fixture2": g2}, indent=2))
+
+
+if __name__ == "__main__":
+    main()
