@@ -1,0 +1,302 @@
+package graft.algorithms
+
+import graft.kernels.Kernels
+import graft.model.{Element, Labels}
+import graft.operators.Cuboids
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Squeeze (Li et al., ISSRE'19) — generalized-ripple root-cause search
+  * over density-clustered deviation groups. Reference behavior: the
+  * algorithms/squeeze package.
+  *
+  * Spark-first redesign of the reference's positional-index machinery:
+  *  - clusters are DEVIATION-INTERVAL predicates (the reference's own
+  *    interval re-expansion, squeeze.py:119-126, makes clusters pure
+  *    functions of the deviation value), so membership is a Column, and
+  *    no row positions ever cross a shuffle;
+  *  - each (cluster, layer) runs ONE multi-cuboid expand-aggregation for
+  *    per-element statistics plus ONE batched pass computing the
+  *    ripple-adjusted L1 terms for every partition prefix p=1..12 of every
+  *    cuboid simultaneously (conditional sums over a broadcast rank map);
+  *  - only the deviation/|v-f| vectors (for the KDE knee filter and the
+  *    histogram clustering — distribution-level statistics; sample at
+  *    extreme scale) and per-element summaries reach the driver.
+  */
+object Squeeze {
+
+  final case class Options(
+      enableFilter: Boolean = true,
+      maxNormalDeviation: Double = 0.2,
+      autoNormalDeviation: Boolean = false,
+      scoreWeight: Option[Double] = None, // None = 'auto'
+      psUpperBound: Double = 0.9,
+      maxNumElements: Int = 12,
+      derived: Boolean = false)
+
+  /** Squeeze's own leaf deviation: (f-v)/(f+v), NaN -> 0
+    * (squeeze.py:354-364; note: no factor 2). */
+  private val deviationCol: Column =
+    when(col("predict") + col("real") === 0.0, 0.0)
+      .otherwise((col("predict") - col("real")) / (col("predict") + col("real")))
+
+  /** KPI filter knee (anomaly_amount_fileter.py): KDE-CDF of |v-f|,
+    * Kneedle knee, keep metrics > knee. */
+  def kpiFilterKnee(metrics: Array[Double]): Double = {
+    val kde = Kernels.GaussianKde(metrics)
+    val xs = Kernels.linspace(metrics.min, metrics.max, 1000)
+    val dens = kde.evaluate(xs)
+    val cdf = dens.scanLeft(0.0)(_ + _).drop(1)
+    Kernels.kneedle(xs, cdf, s = 1.0).getOrElse(metrics.min)
+  }
+
+  /** Histogram density clustering (density_cluster.py:18-140): returns
+    * deviation intervals [lo, hi] of each cluster. */
+  def clusterIntervals(devs: Array[Double], opt: Options): Seq[(Double, Double)] = {
+    if (devs.isEmpty) return Seq.empty
+    // edges: numpy auto + 5 extra 0.1-spaced bins after the last (the
+    // reference's left padding is a no-op: range(-5,0,-1) is empty)
+    val baseEdges = Kernels.histogramBinEdgesAuto(devs)
+    val edges = baseEdges ++ (1 to 5).map(i => baseEdges.last + 0.1 * i)
+    val h = Kernels.histogramDensity(devs, edges).map(_ / 100.0)
+    val bins = Array.tabulate(edges.length - 1)(i => (edges(i) + edges(i + 1)) / 2.0)
+
+    val window = math.max(h.count(_ > 0) / 10, 1) // 'auto'
+    val smoothed = Kernels.smooth(h, window)
+
+    val maxIdx = Kernels.argrelextrema(smoothed, _ > _, wrap = true).filter(smoothed(_) > 0)
+    val minIdx = Kernels.argrelextrema(smoothed, _ <= _, wrap = true)
+    val boundaries = (Double.NegativeInfinity +: minIdx.map(bins).toSeq :+ Double.PositiveInfinity).toArray
+
+    val maxNormal =
+      if (opt.autoNormalDeviation) devs.map(math.abs).sum / devs.length
+      else opt.maxNormalDeviation
+
+    maxIdx.toSeq.flatMap { idx =>
+      val x = bins(idx)
+      // searchsorted semantics: left boundary = last boundary <= x (right
+      // side - 1), right = first boundary >= x (left side)
+      val right = boundaries(lowerBound(boundaries, x))
+      val left = boundaries(upperBound(boundaries, x) - 1)
+      val members = devs.filter(d => d >= left && d <= right)
+      if (members.isEmpty) None
+      else {
+        val mu = members.map(math.abs).sum / members.length
+        if (math.abs(mu) < maxNormal) None
+        else Some((members.min, members.max))
+      }
+    }
+  }
+
+  // first index with arr(i) >= x (numpy searchsorted side='left')
+  private def lowerBound(arr: Array[Double], x: Double): Int = {
+    var lo = 0; var hi = arr.length
+    while (lo < hi) { val m = (lo + hi) / 2; if (arr(m) < x) lo = m + 1 else hi = m }
+    lo
+  }
+  // first index with arr(i) > x (side='right')
+  private def upperBound(arr: Array[Double], x: Double): Int = {
+    var lo = 0; var hi = arr.length
+    while (lo < hi) { val m = (lo + hi) / 2; if (arr(m) <= x) lo = m + 1 else hi = m }
+    lo
+  }
+
+  private def divideGuard(x: Double, y: Double): Double =
+    if (y > 0) x / y else if (x == 0) 0.0 else Double.PositiveInfinity
+
+  def run(df0: DataFrame, attributes: Seq[String], opt: Options = Options()): Seq[String] = {
+    // validity filter + derived measure + clamp (squeeze.py:28-36)
+    var df =
+      if (opt.derived)
+        df0.filter(col("predict_a") > 0 && col("predict_b") > 0)
+          .withColumn("real", graft.functions.Scores.safeDiv(col("real_a"), col("real_b")))
+          .withColumn("predict", graft.functions.Scores.safeDiv(col("predict_a"), col("predict_b")))
+      else df0.filter(col("predict") > 0)
+    val minReal = df.agg(min("real")).collect()(0).getDouble(0)
+    if (minReal < 0) df = df.withColumn("real", col("real") - minReal)
+    df = df.withColumn("deviation", deviationCol).persist(StorageLevel.MEMORY_AND_DISK)
+
+    val nLeaves = df.count()
+    if (nLeaves == 0) { df.unpersist(); return Seq.empty }
+
+    // driver-side distribution statistics (collected vectors)
+    val vf = df.select(col("deviation"), abs(col("real") - col("predict")).as("metric"))
+      .collect()
+    val devs = vf.map(_.getDouble(0))
+    val metrics = vf.map(_.getDouble(1))
+
+    val filteredDevs =
+      if (opt.enableFilter) {
+        val knee = kpiFilterKnee(metrics)
+        devs.zip(metrics).collect { case (d, m) if m > knee => d }
+      } else devs
+    if (filteredDevs.isEmpty) { df.unpersist(); return Seq.empty }
+
+    val intervals = clusterIntervals(filteredDevs, opt)
+    if (intervals.isEmpty) { df.unpersist(); return Seq.empty }
+
+    // interval re-expansion over ALL leaves (squeeze.py:119-126)
+    val clusterSizes = intervals.map { case (lo, hi) => devs.count(d => d >= lo && d <= hi).toLong }
+
+    // normal set: |dev| < (signed) deviation of the abnormal leaf with the
+    // smallest |dev| (squeeze.py:100-107 — RHS is intentionally unsigned-
+    // compared against the signed value, replicated exactly)
+    val abnormalDevs = devs.filter(d => intervals.exists { case (lo, hi) => d >= lo && d <= hi })
+    val normalThreshold = abnormalDevs.minBy(math.abs)
+    val isNormal: Column = abs(col("deviation")) < normalThreshold
+
+    // auto score weight (squeeze.py:281-300, revised formula)
+    val nClusters = intervals.size
+    val numAttr = attributes.map(a => df.select(a).distinct().count()).sum.toDouble
+    val scoreWeight = opt.scoreWeight.getOrElse {
+      val gCluster = math.log(nClusters + 1.0) / nClusters
+      val gAttribute = numAttr / math.log(numAttr + 1.0)
+      val gCoverage = -math.log(clusterSizes.sum.toDouble / nLeaves)
+      gCluster * gAttribute * gCoverage
+    }
+
+    val rootCauses = intervals.map { case (lo, hi) =>
+      locateInCluster(df, attributes, lo, hi, isNormal, scoreWeight, opt)
+    }.collect { case Some(rc) => rc }
+
+    df.unpersist()
+    // unique element-sets -> canonical strings (squeeze.py:65-70)
+    Labels.canonicalPredictions(
+      rootCauses.map(rc => rc.map(_.label).sorted.mkString(";")).distinct)
+  }
+
+  /** One cluster's search (squeeze.py:241-275). Returns the root cause as
+    * a set of Elements. */
+  private def locateInCluster(
+      df: DataFrame, attributes: Seq[String],
+      lo: Double, hi: Double, isNormal: Column,
+      scoreWeight: Double, opt: Options): Option[Seq[Element]] = {
+
+    val inCluster: Column = col("deviation") >= lo && col("deviation") <= hi
+    val inSubset: Column = inCluster || isNormal
+
+    case class CuboidResult(cid: Int, layer: Int, rc: Seq[Element], score: Double, nEle: Int) {
+      def rank: Double = score * scoreWeight - nEle.toDouble * layer
+    }
+    val results = collection.mutable.ArrayBuffer.empty[CuboidResult]
+    var layer = 1
+    var break = false
+    while (layer <= attributes.size && !break) {
+      val cuboids = attributes.combinations(layer).toSeq
+      val exploded = Cuboids.expand(df, cuboids).persist(StorageLevel.MEMORY_AND_DISK)
+
+      // pass 1: per-element stats over abnormal / all / subset rows
+      val stats = exploded
+        .groupBy(col("cb.cid").as("cid"), col("cb.key").as("key"))
+        .agg(
+          count(when(inCluster, lit(1))).as("n_abn"),
+          count(lit(1)).as("n_all"),
+          count(when(inSubset, lit(1))).as("n_sub"),
+          sum(when(inSubset, col("real")).otherwise(0.0)).as("sv_sub"),
+          sum(when(inSubset, col("predict")).otherwise(0.0)).as("sf_sub"),
+          sum(when(inSubset, abs(col("real") - col("predict"))).otherwise(0.0)).as("l1_sub"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      val Row(nSubTotal: Long, l1SubTotal: Double) =
+        df.agg(count(when(inSubset, lit(1))), sum(when(inSubset, abs(col("real") - col("predict"))).otherwise(0.0)))
+          .collect()(0)
+
+      val perCid = stats.collect().groupBy(_.getInt(0))
+
+      // driver: order elements per cuboid by descent score; compute
+      // cumulative stats; build rank + ratio tables for pass 2
+      case class Plan(cid: Int, elems: Array[(Seq[String], Long, Long, Long, Double, Double, Double)],
+          partitions: Int, ratios: Array[Double])
+      val plans = perCid.toSeq.sortBy(_._1).flatMap { case (cid, rows) =>
+        val all = rows.map(r => (r.getSeq[String](1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+        val nDistinctIdx = all.length // distinct cuboid tuples in full data
+        val abn = all.filter(_._2 > 0)
+        if (abn.isEmpty) None
+        else {
+          // descent = n_abn / max(n_all, 1e-4); desc order; ties follow the
+          // reference's reversed unique order (element desc)
+          val ordered = abn.sortBy(e => (-(e._2.toDouble / math.max(e._3.toDouble, 1e-4)), e._1.mkString(" ")))
+            .reverse.sortBy(e => -(e._2.toDouble / math.max(e._3.toDouble, 1e-4)))
+          val nPart = math.min(math.min(ordered.length, opt.maxNumElements), nDistinctIdx - 1)
+          if (nPart <= 0) Some(Plan(cid, ordered.toArray, 0, Array.empty))
+          else {
+            val ratios = new Array[Double](nPart)
+            var cv = 0.0; var cf = 0.0
+            for (p <- 1 to nPart) {
+              cv += ordered(p - 1)._5; cf += ordered(p - 1)._6
+              ratios(p - 1) = if (cf > 0) cv / cf else 0.0
+            }
+            Some(Plan(cid, ordered.toArray, nPart, ratios))
+          }
+        }
+      }
+
+      val maxP = (0 +: plans.map(_.partitions)).max
+      if (maxP > 0) {
+        // pass 2: L1(v1, f1*ratio_p) for all cuboids and partitions at once
+        val spark = df.sparkSession
+        import spark.implicits._
+        val rankRows = plans.flatMap(pl => pl.elems.take(math.max(pl.partitions, 0)).zipWithIndex
+          .map { case (e, i) => (pl.cid, e._1, i + 1) })
+        val ratioRows = plans.filter(_.partitions > 0).map(pl => (pl.cid, pl.ratios.toSeq))
+        val rankDf = rankRows.toDF("rcid", "rkey", "rank")
+        val ratioDf = ratioRows.toDF("tcid", "ratios")
+
+        val l1Terms = exploded
+          .filter(inSubset)
+          .join(broadcast(rankDf), col("cb.cid") === col("rcid") && col("cb.key") === col("rkey"))
+          .join(broadcast(ratioDf), col("cb.cid") === col("tcid"))
+          .groupBy(col("rcid").as("cid"))
+          .agg(
+            (1 to maxP).map(p =>
+              sum(when(col("rank") <= p,
+                abs(col("real") - col("predict") * element_at(col("ratios"), p)))
+                .otherwise(0.0)).as(s"l1a_$p")).head,
+            (1 to maxP).map(p =>
+              sum(when(col("rank") <= p,
+                abs(col("real") - col("predict") * element_at(col("ratios"), p)))
+                .otherwise(0.0)).as(s"l1a_$p")).tail: _*)
+          .collect().map(r => r.getInt(0) -> r).toMap
+
+        for (pl <- plans if pl.partitions > 0) {
+          val l1aRow = l1Terms.get(pl.cid)
+          var bestScore = Double.NegativeInfinity
+          var bestP = -1
+          var cumN = 0L; var cumL1 = 0.0
+          val scores = new Array[Double](pl.partitions)
+          for (p <- 1 to pl.partitions) {
+            cumN += pl.elems(p - 1)._4
+            cumL1 += pl.elems(p - 1)._7
+            val n1 = cumN.toDouble
+            val n2 = (nSubTotal - cumN).toDouble
+            val l1v1f1 = cumL1
+            val l1v2f2 = l1SubTotal - cumL1
+            val l1v1a1 = l1aRow.map(_.getDouble(p)).getOrElse(0.0)
+            val denom = divideGuard(l1v1f1, n1) + divideGuard(l1v2f2, n2)
+            val num = divideGuard(l1v1a1, n1) + divideGuard(l1v2f2, n2)
+            val ps = 1.0 - num / denom
+            scores(p - 1) = ps
+          }
+          // max score; ties -> larger p (reference's reversed argsort)
+          for (p <- pl.partitions to 1 by -1)
+            if (scores(p - 1) > bestScore) { bestScore = scores(p - 1); bestP = p }
+          if (bestP > 0) {
+            val cuboid = cuboids(pl.cid)
+            val rc = pl.elems.take(bestP).map(e => Element(cuboid, e._1)).toSeq
+            results += CuboidResult(pl.cid, layer, rc, bestScore, bestP)
+          } else {
+            results += CuboidResult(pl.cid, layer, Seq.empty, Double.NegativeInfinity, 0)
+          }
+        }
+      }
+      stats.unpersist(); exploded.unpersist()
+      if (results.exists(_.score > opt.psUpperBound)) break = true
+      layer += 1
+    }
+
+    // best rank wins; stable ties keep layer/cuboid enumeration order
+    results.filter(_.rc.nonEmpty).sortBy(r => -r.rank).headOption.map(_.rc)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.algorithms.{Adtributor, RevRecAdtributor, RiskLoc}
+import graft.algorithms.{Adtributor, AutoRoot, RevRecAdtributor, RiskLoc, Squeeze}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -53,6 +53,22 @@ object AlgorithmQueries {
         RevRecAdtributor.run(anomalousSnapshot(s, dir), attrs,
           RevRecAdtributor.Options(teep = 0.1)))
       preds.toDF("root_cause").orderBy("root_cause")
+    },
+
+    GateQuery.rowsOnly("q43_autoroot") { (s, dir) =>
+      import s.implicits._
+      val rcs = AutoRoot.run(anomalousSnapshot(s, dir), attrs,
+        AutoRoot.Options(deltaThreshold = 0.1))
+      rcs.map(rc => (rc.labels.mkString(";"), rc.layer,
+        math.floor(rc.scores("avg") * 1e6) / 1e6))
+        .toDF("root_cause", "layer", "avg_score")
+        .orderBy("root_cause")
+    },
+
+    GateQuery.rowsOnly("q44_squeeze") { (s, dir) =>
+      import s.implicits._
+      Squeeze.run(anomalousSnapshot(s, dir), attrs)
+        .toDF("root_cause").orderBy("root_cause")
     },
   )
 }

@@ -63,6 +63,30 @@ class FixtureSpec extends AnyFunSuite {
         RevRecAdtributor.Options(teep = 0.1))))
   }
 
+  test("autoroot matches reference on fixture1") {
+    check("fixture1", "autoroot_default",
+      graft.algorithms.AutoRoot.predictions(
+        graft.algorithms.AutoRoot.run(fixture("fixture1"), attrs,
+          graft.algorithms.AutoRoot.Options(deltaThreshold = 0.25))))
+  }
+
+  test("autoroot matches reference on fixture2") {
+    check("fixture2", "autoroot_default",
+      graft.algorithms.AutoRoot.predictions(
+        graft.algorithms.AutoRoot.run(fixture("fixture2"), attrs,
+          graft.algorithms.AutoRoot.Options(deltaThreshold = 0.25))))
+  }
+
+  test("squeeze matches reference on fixture1") {
+    check("fixture1", "squeeze_default",
+      graft.algorithms.Squeeze.run(fixture("fixture1"), attrs))
+  }
+
+  test("squeeze matches reference on fixture2") {
+    check("fixture2", "squeeze_default",
+      graft.algorithms.Squeeze.run(fixture("fixture2"), attrs))
+  }
+
   test("rev-rec adtributor matches reference on fixture2") {
     check("fixture2", "rev_rec_default",
       RevRecAdtributor.predictions(RevRecAdtributor.run(fixture("fixture2"), attrs,

@@ -9,11 +9,24 @@ import pandas as pd
 
 sys.path.insert(0, "/root/reference")
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "shims"))
+# the reference predates numpy 1.24's alias removal
+for alias, typ in [("bool", bool), ("object", object), ("int", int), ("float", float)]:
+    if not hasattr(np, alias):
+        setattr(np, alias, typ)
+
 from algorithms.adtributor import adtributor
 from algorithms.rev_rec_adtributor import rev_rec_adtributor
 from algorithms.riskloc import riskloc
 from algorithms.autoroot import autoroot
+from algorithms.squeeze.squeeze import Squeeze
+from algorithms.squeeze.squeeze_option import SqueezeOption
 from utils.evaluation import root_cause_postprocessing
+
+
+def run_squeeze(df, **kwargs):
+    model = Squeeze(data_list=[df], op=lambda x: x, option=SqueezeOption(**kwargs))
+    model.run()
+    return sorted(model.root_cause_string_list)
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "src", "test", "resources", "fixtures")
 os.makedirs(OUT, exist_ok=True)
@@ -42,6 +55,10 @@ def make_snapshot(seed, dims, anomalies, noise=0.01, alpha=0.5):
 def golden(df, runs):
     out = {}
     for name, algo, kwargs in runs:
+        if algo is run_squeeze:
+            out[name] = sorted(
+                "&".join(sorted(rc.split("&"))) for rc in run_squeeze(df.copy(), **kwargs))
+            continue
         rcs = algo(df.copy(), **kwargs)
         algo_kind = ("adtributor" if algo is adtributor else
                      "rev_rec_adtributor" if algo is rev_rec_adtributor else
@@ -64,6 +81,7 @@ def main():
         ("adtributor_default", adtributor, dict(dimensions=attrs)),
         ("rev_rec_default", rev_rec_adtributor, dict(dimensions=attrs)),
         ("autoroot_default", autoroot, dict(attributes=attrs, delta_threshold=0.25)),
+        ("squeeze_default", run_squeeze, dict()),
     ])
 
     # fixture2: a layer-2 composite anomaly (b=b2 & c=c1 scaled 4x) plus a
@@ -75,6 +93,7 @@ def main():
         ("adtributor_low", adtributor, dict(dimensions=attrs, teep=0.05, tep=0.1)),
         ("rev_rec_default", rev_rec_adtributor, dict(dimensions=attrs)),
         ("autoroot_default", autoroot, dict(attributes=attrs, delta_threshold=0.25)),
+        ("squeeze_default", run_squeeze, dict()),
     ])
 
     with open(f"{OUT}/golden.json", "w") as f:
