@@ -130,12 +130,17 @@ object RiskLoc {
         }
     }
 
-    // Candidates: anomalous elements above the adjusted EP threshold.
+    // Candidates: anomalous elements above the adjusted EP threshold,
+    // capped PER CUBOID (highest-EP first — the reference scans each
+    // cuboid's candidates in EP-desc order, so a cap only ever drops the
+    // tail of that scan, never another cuboid's head).
     val candKeys = eps
       .filter(col("part_sum") > 0 && col("ep") > adjEpThreshold)
       .select("cid", "key", "ep")
-      .orderBy(desc("ep"))
-      .limit(opt.maxCandidatesPerCuboid)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cid").orderBy(desc("ep"))))
+      .filter(col("rn") <= opt.maxCandidatesPerCuboid)
+      .drop("rn")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val nz = col("real") =!= 0 && col("predict") =!= 0
@@ -178,7 +183,7 @@ object RiskLoc {
     // risk >= threshold wins the cuboid; global best = max EP.
     val byCuboid = collected.groupBy(_.getInt(0))
     val winners = byCuboid.flatMap { case (cid, rows) =>
-      val ordered = rows.sortBy(r => (-r.getDouble(2), r.getSeq[String](1).mkString(" ")))
+      val ordered = rows.sortBy(r => (-r.getDouble(2), r.getSeq[String](1).mkString("\u0000")))
       ordered.iterator.map { r =>
         val ep = r.getDouble(2)
         val wa = r.getDouble(3); val wn = r.getDouble(4)

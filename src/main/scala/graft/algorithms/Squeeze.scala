@@ -217,7 +217,7 @@ object Squeeze {
         else {
           // descent = n_abn / max(n_all, 1e-4); desc order; ties follow the
           // reference's reversed unique order (element desc)
-          val ordered = abn.sortBy(e => (-(e._2.toDouble / math.max(e._3.toDouble, 1e-4)), e._1.mkString(" ")))
+          val ordered = abn.sortBy(e => (-(e._2.toDouble / math.max(e._3.toDouble, 1e-4)), e._1.mkString("\u0000")))
             .reverse.sortBy(e => -(e._2.toDouble / math.max(e._3.toDouble, 1e-4)))
           val nPart = math.min(math.min(ordered.length, opt.maxNumElements), nDistinctIdx - 1)
           if (nPart <= 0) Some(Plan(cid, ordered.toArray, 0, Array.empty))
@@ -231,6 +231,15 @@ object Squeeze {
             Some(Plan(cid, ordered.toArray, nPart, ratios))
           }
         }
+      }
+
+      // Degenerate cuboids (nPart <= 0): the reference _locate_in_cuboid
+      // returns (all abnormal elements, -inf), still selectable when every
+      // cuboid is degenerate — keep that fallback (squeeze.py:223-228).
+      for (pl <- plans if pl.partitions <= 0) {
+        val cuboid = cuboids(pl.cid)
+        val rc = pl.elems.map(e => Element(cuboid, e._1)).toSeq
+        results += CuboidResult(pl.cid, layer, rc, Double.NegativeInfinity, pl.elems.length)
       }
 
       val maxP = (0 +: plans.map(_.partitions)).max

@@ -8,12 +8,24 @@ package graft.kernels
   */
 object Kernels {
 
-  /** 1-D Gaussian KDE with silverman bandwidth (scipy.stats.gaussian_kde):
-    * factor = (n·3/4)^(-1/5); covariance = factor² · var(data, ddof=1);
-    * density(x) = Σ exp(-(x-xi)²/(2σ²)) / (n·sqrt(2πσ²)). */
-  final case class GaussianKde(data: Array[Double]) {
+  sealed trait BwMethod
+  /** scipy default: factor = n^(-1/(d+4)), d=1. */
+  case object Scott extends BwMethod
+  /** factor = (n·(d+2)/4)^(-1/(d+4)), d=1. */
+  case object Silverman extends BwMethod
+
+  /** 1-D Gaussian KDE (scipy.stats.gaussian_kde):
+    * covariance = factor² · var(data, ddof=1);
+    * density(x) = Σ exp(-(x-xi)²/(2σ²)) / (n·sqrt(2πσ²)).
+    * scipy's default bw_method is Scott; AutoRoot explicitly requests
+    * silverman (autoroot.py:33), Squeeze's KPIFilter uses the default
+    * (anomaly_amount_fileter.py:10). */
+  final case class GaussianKde(data: Array[Double], bw: BwMethod = Scott) {
     val n: Int = data.length
-    val factor: Double = math.pow(n * 3.0 / 4.0, -1.0 / 5.0)
+    val factor: Double = bw match {
+      case Scott     => math.pow(n.toDouble, -1.0 / 5.0)
+      case Silverman => math.pow(n * 3.0 / 4.0, -1.0 / 5.0)
+    }
     private val mean = data.sum / n
     private val varDdof1 = data.map(x => (x - mean) * (x - mean)).sum / (n - 1)
     val covariance: Double = varDdof1 * factor * factor

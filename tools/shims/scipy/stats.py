@@ -7,7 +7,7 @@ class gaussian_kde:
     data covariance (ddof=1); density = mean of unit gaussians at
     (x - xi)/h."""
 
-    def __init__(self, dataset, bw_method="silverman"):
+    def __init__(self, dataset, bw_method="scott"):
         self.dataset = np.atleast_2d(np.asarray(dataset, dtype=float))
         self.d, self.n = self.dataset.shape
         if bw_method == "silverman":
