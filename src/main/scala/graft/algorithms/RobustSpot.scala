@@ -1,0 +1,353 @@
+package graft.algorithms
+
+import graft.functions.Scores.numpyDiv
+import graft.kernels.Kernels
+import graft.model.Labels
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** RobustSpot — influence-degree / contribution-ability screening plus
+  * association-rule mining over an oversampled anomaly set, with a 7-round
+  * drill-down. Reference behavior: the algorithms/robustspot package.
+  *
+  * Spark-first redesign:
+  *  - ID and CA are pure column algebra over one global-sum pass
+  *    (ID_CA.py's python row loops become codegen'd expressions);
+  *  - the reference's row EXPANSION (`expand_list.extend([row]*times)`,
+  *    select_expand.py:72-81) becomes a `times` WEIGHT column — itemset
+  *    supports are weighted counts, so no data blowup ever materializes;
+  *  - all itemset/rule supports of a mining round batch into ONE
+  *    aggregation: each row gets a bitmask of which mode-items it matches
+  *    (≤ 2^#attrs distinct masks), and every support is a driver-side sum
+  *    over the collected mask histogram;
+  *  - only the sorted positive-ID vector (for the Kneedle threshold — a
+  *    distribution-level statistic; sample at extreme scale) and small
+  *    per-round summaries reach the driver.
+  *
+  * Replicated reference quirks (scaladoc'd at each site): the `int()`
+  * truncation of expansion times, mode ties resolved to the smallest
+  * value, the p2p-discard merge step, and ID=NaN rows (0/0) dropping out
+  * of the expansion.
+  */
+object RobustSpot {
+
+  final case class Options(
+      k: Int = 3,
+      derived: Boolean = true,
+      caThreshold: Double = 0.0,
+      confidenceThreshold: Double = 0.8,
+      lambdaAmplification: Int = 100)
+
+  type Item = (String, String)
+  /** A root cause: items sorted by attribute name (mining.py:102-104). */
+  type Cause = Seq[Item]
+
+  // ------------------------------------------------------- data adaptation
+
+  /** robustspot.py:15-20 — fundamental measures: unit value/cnt columns. */
+  def adaptFundamental(df: DataFrame): DataFrame =
+    df.filter(col("real") > 0 || col("predict") > 0)
+      .withColumn("k_real", col("real"))
+      .withColumn("k_predict", col("predict"))
+      .withColumn("cnt_real", lit(1.0)).withColumn("cnt_predict", lit(1.0))
+      .withColumn("value_real", lit(1.0)).withColumn("value_predict", lit(1.0))
+
+  /** robustspot.py:23-36 — derived measures: k becomes 1 - success rate. */
+  def adaptDerived(df: DataFrame): DataFrame =
+    df.filter(col("real_a") > 0 || col("predict_a") > 0 ||
+        col("real_b") > 0 || col("predict_b") > 0)
+      .withColumn("value_real", col("real_b") - col("real_a"))
+      .withColumn("value_predict", col("predict_b") - col("predict_a"))
+      .withColumn("cnt_real", col("real_b"))
+      .withColumn("cnt_predict", col("predict_b"))
+      .withColumn("k_real", numpyDiv(col("value_real"), col("cnt_real")))
+      .withColumn("k_predict", numpyDiv(col("value_predict"), col("cnt_predict")))
+
+  // ------------------------------------------------------------ ID and CA
+
+  /** One pass for all six global sums feeding ID and CA. */
+  private final case class Sums(kF: Double, kV: Double, n: Long,
+      mF: Double, mV: Double, dF: Double, dV: Double)
+
+  private def globalSums(df: DataFrame): Sums = {
+    val r = df.agg(
+      sum("k_predict"), sum("k_real"), count(lit(1)),
+      sum("value_predict"), sum("value_real"),
+      sum("cnt_predict"), sum("cnt_real")).collect()(0)
+    def d(i: Int) = if (r.isNullAt(i)) 0.0 else r.getDouble(i)
+    Sums(d(0), d(1), r.getLong(2), d(3), d(4), d(5), d(6))
+  }
+
+  /** Influence degree (ID_CA.py:12-26): leave-one-out averages; NaN/Inf
+    * propagate exactly as numpy (0/0 rows get ID=NaN and are screened out
+    * by the `ID > threshold` filter). */
+  private def idCol(s: Sums): Column = {
+    val nm1 = lit((s.n - 1).toDouble)
+    val denom = numpyDiv(lit(s.kV) - col("k_real"), nm1) - numpyDiv(lit(s.kF) - col("k_predict"), nm1)
+    lit(1.0) - numpyDiv(lit(1.0), abs(numpyDiv(col("k_real") - col("k_predict"), denom)) + lit(1.0))
+  }
+
+  /** Contribution ability (ID_CA.py:42-71): NaN -> 0 (the per-row isnan
+    * check; the reference's unassigned replace/fillna is a no-op we do not
+    * "fix", SURVEY.md §7.3). */
+  private def caCol(s: Sums): Column = {
+    val rate1 = lit(s.dF / s.mF) // scalar: JVM IEEE-754 division = numpy
+    val rate2 = numpyDiv(col("value_real") + lit(s.mF) - col("value_predict"),
+      col("cnt_real") + lit(s.dF) - col("cnt_predict"))
+    val ca = rate1 * rate2 - lit(1.0)
+    when(isnan(ca), 0.0).otherwise(ca)
+  }
+
+  /** Kneedle threshold over the positive-ID CDF (select_expand.py:39-62):
+    * S=6, degree-7 polynomial fit, default 0.5. */
+  private[algorithms] def idThreshold(sortedPositiveIds: Array[Double]): Double = {
+    if (sortedPositiveIds.isEmpty) return 0.5
+    val n = sortedPositiveIds.length
+    val cdf = Array.tabulate(n)(i => (i + 1).toDouble / n)
+    Kernels.kneedle(sortedPositiveIds, cdf, s = 6.0, polynomialDegree = 7).getOrElse(0.5)
+  }
+
+  // --------------------------------------------------------- select/expand
+
+  private final case class RoundState(before: DataFrame, after: DataFrame,
+      expand: DataFrame, cached: DataFrame)
+
+  /** select_expand.py:21-85 — screen by ID knee + CA threshold, then weight
+    * surviving rows by the int-truncated amplification factor. */
+  private def selectExpand(before: DataFrame, attrs: Seq[String], opt: Options): RoundState = {
+    val s = globalSums(before)
+    val scored = before.withColumn("ID", idCol(s)).withColumn("CA", caCol(s))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val ids = scored.select("ID").collect().map(_.getDouble(0))
+      .filter(x => !x.isNaN && x > 0).sorted
+    val threshold = idThreshold(ids)
+
+    val after = scored.filter(col("ID") > threshold && col("CA") > opt.caThreshold)
+    // int() truncation toward zero (select_expand.py:76-79); non-positive
+    // times = zero replicas = the row never reaches expand_df
+    val times =
+      if (opt.derived) (col("ID") * col("CA") * opt.lambdaAmplification).cast("long")
+      else (col("ID") * opt.lambdaAmplification).cast("long")
+    val expand = after.withColumn("w", times).filter(col("w") >= 1)
+      .select((attrs.map(col) :+ col("w")): _*)
+    RoundState(scored.drop("ID", "CA"), after, expand, scored)
+  }
+
+  // --------------------------------------------------------------- mining
+
+  /** Weighted per-attribute mode, ties to the smallest value (pandas
+    * df[col].mode().values[0], mining.py:9-13) — one aggregation pass for
+    * every attribute via an attr/value explode. */
+  private def weightedModes(expand: DataFrame, attrs: Seq[String]): Map[String, String] = {
+    val av = explode(array(attrs.map(a =>
+      struct(lit(a).as("attr"), col(a).as("value"))): _*)).as("av")
+    expand.select(av, col("w"))
+      .groupBy(col("av.attr").as("attr"), col("av.value").as("value"))
+      .agg(sum("w").as("cnt"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (attr, rows) =>
+        attr -> rows.minBy(r => (-r.getLong(2), r.getString(1))).getString(1)
+      }
+  }
+
+  /** Histogram of item-match bitmasks: one row-pass covers every itemset
+    * count needed by a mining round. */
+  private def maskHistogram(df: DataFrame, items: Seq[Item],
+      weight: Option[String]): Map[Int, Double] = {
+    val mask = items.zipWithIndex.map { case ((a, v), i) =>
+      when(col(a) === lit(v), 1 << i).otherwise(0)
+    }.reduceOption(_ + _).getOrElse(lit(0))
+    val agg = weight match {
+      case Some(w) => sum(col(w)).cast("double")
+      case None => count(lit(1)).cast("double")
+    }
+    df.groupBy(mask.as("mask")).agg(agg.as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+  }
+
+  private def supp(hist: Map[Int, Double], bits: Int): Double =
+    hist.collect { case (m, c) if (m & bits) == bits => c }.sum
+
+  /** One mining round (mining.py:76-107): association rules over the
+    * mode-itemset power set, confidence filter, support-delta top-5. */
+  private def mine(state: RoundState, attrs: Seq[String], opt: Options): Seq[Cause] = {
+    if (state.expand.isEmpty) return Seq.empty
+    val modes = weightedModes(state.expand, attrs)
+    val items: Seq[Item] = attrs.map(a => (a, modes(a)))
+    val idxs = items.indices
+
+    val expandHist = maskHistogram(state.expand, items, Some("w"))
+    val beforeHist = maskHistogram(state.before, items, None)
+    val afterHist = maskHistogram(state.after, items, None)
+    val nBefore = beforeHist.values.sum
+    val nAfter = afterHist.values.sum
+
+    // rules: itemsets of size 2..3, every lhs/rhs split (mining.py:16-30)
+    val itemsets23 = (2 to 3).flatMap(r => idxs.combinations(r).map(_.toSet)).toSeq
+    val rules = itemsets23.flatMap { is =>
+      is.subsets.filter(s => s.nonEmpty && s.size < is.size).map { lhs =>
+        (lhs.map(1 << _).sum, (is -- lhs).map(1 << _).sum)
+      }
+    }.distinct
+
+    val crossCauses = rules.flatMap { case (lhsBits, rhsBits) =>
+      val nl = supp(expandHist, lhsBits)
+      val conf = if (nl == 0) 0.0 else supp(expandHist, lhsBits | rhsBits) / nl
+      if (conf > opt.confidenceThreshold) Some(lhsBits | rhsBits) else None
+    }.distinct
+
+    val causeBits = crossCauses ++ idxs.map(1 << _) // + singletons (size-1 power set)
+    val deltas = causeBits.map(b => supp(beforeHist, b) / nBefore - supp(afterHist, b) / nAfter)
+    causeBits.zip(deltas).zipWithIndex
+      .sortBy { case ((_, d), i) => (d, i) } // stable argsort asc
+      .take(5)
+      .map { case ((b, _), _) => idxs.filter(i => (b & (1 << i)) != 0).map(items).sortBy(_._1) }
+  }
+
+  // -------------------------------------------------------------- merging
+
+  private def sameAttrsPositionally(a: Cause, b: Cause): Boolean =
+    a.length == b.length && a.indices.forall(i => a(i)._1 == b(i)._1)
+
+  private def anyValueDiffers(a: Cause, b: Cause): Boolean =
+    a.indices.exists(i => a(i)._2 != b(i)._2)
+
+  /** final.py:14-29 — pairs of equal-shape causes differing in a value. */
+  private def mergeCauses2(xs: Seq[Cause], ys: Seq[Cause]): Seq[Seq[Cause]] =
+    for (c1 <- xs; c2 <- ys
+         if sameAttrsPositionally(c1, c2) && anyValueDiffers(c1, c2))
+      yield Seq(c1, c2)
+
+  /** final.py:32-49 — triples, all three pairwise differing at a position. */
+  private def mergeCause3(xs: Seq[Cause], ys: Seq[Cause], zs: Seq[Cause]): Seq[Seq[Cause]] =
+    for (c1 <- xs; c2 <- ys; c3 <- zs
+         if sameAttrsPositionally(c1, c2) && sameAttrsPositionally(c2, c3) &&
+           c1.indices.exists(i => c1(i)._2 != c2(i)._2 && c1(i)._2 != c3(i)._2 &&
+             c2(i)._2 != c3(i)._2))
+      yield Seq(c1, c2, c3)
+
+  private def getMergeRes(a: Seq[Cause], b: Seq[Cause], c: Seq[Cause]): Seq[Seq[Cause]] =
+    mergeCauses2(a, b) ++ mergeCauses2(a, c) ++ mergeCauses2(b, c) ++ mergeCause3(a, b, c)
+
+  /** Batched itemset counts: one conditional-aggregation pass per table. */
+  private def causeCounts(df: DataFrame, causes: Seq[Cause]): Map[Cause, Long] =
+    if (causes.isEmpty) Map.empty
+    else {
+      val aggs = causes.zipWithIndex.map { case (cz, i) =>
+        count(when(cz.map { case (a, v) => col(a) === lit(v) }.reduce(_ && _), lit(1))).as(s"c_$i")
+      }
+      val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      causes.zipWithIndex.map { case (cz, i) => cz -> r.getLong(i) }.toMap
+    }
+
+  // ------------------------------------------------------------------ run
+
+  private def dropCause(df: DataFrame, cause: Cause): DataFrame =
+    df.filter(!cause.map { case (a, v) => col(a) === lit(v) }.reduce(_ && _))
+
+  def run(df0: DataFrame, attributes: Seq[String], opt: Options = Options()): Seq[Seq[Cause]] = {
+    // Fundamental measures: CA is meaningless (constant ~0), threshold -1
+    // admits everything (robustspot.py:46-48)
+    val effOpt = if (opt.derived) opt else opt.copy(caThreshold = -1.0)
+    val adapted = (if (opt.derived) adaptDerived(df0) else adaptFundamental(df0))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // 7-round drill-down (robustspot.py:56-69): rounds 1/3/5 drop round-0's
+    // top-1/2/3 cause; rounds 2/4/6 drop the previous round's top cause.
+    val states = new Array[RoundState](7)
+    val rc = Array.fill[Seq[Cause]](7)(Seq.empty)
+    states(0) = selectExpand(adapted, attributes, effOpt)
+    rc(0) = mine(states(0), attributes, effOpt)
+
+    for (dim1 <- 1 to 3) {
+      val i1 = 2 * dim1 - 1
+      if (rc(0).size >= dim1) {
+        states(i1) = selectExpand(dropCause(states(0).before, rc(0)(dim1 - 1)), attributes, effOpt)
+        rc(i1) = mine(states(i1), attributes, effOpt)
+        if (rc(i1).nonEmpty) {
+          states(i1 + 1) = selectExpand(dropCause(states(i1).before, rc(i1).head), attributes, effOpt)
+          rc(i1 + 1) = mine(states(i1 + 1), attributes, effOpt)
+        }
+      }
+    }
+
+    var mergeRes: Seq[Seq[Cause]] =
+      getMergeRes(rc(0).take(1), rc(1).take(1), rc(2)) ++
+      getMergeRes(rc(0).slice(1, 2), rc(3).take(1), rc(4)) ++
+      getMergeRes(rc(0).slice(2, 3), rc(5).take(1), rc(6)) ++
+      rc(0).map(Seq(_))
+
+    // p2p-discard collapse (robustspot.py:81-90; the reference compares int
+    // tuples against str data so it no-ops there — we match the intent on
+    // string values; no 'p2p' attribute means no-op either way)
+    val p2pItems: Set[Item] = Set(("p2p", "0"), ("p2p", "1"))
+    mergeRes = mergeRes.map { entry =>
+      if (entry.length == 2) {
+        val s0 = entry(0).toSet -- p2pItems
+        val s1 = entry(1).toSet -- p2pItems
+        if (s0 == s1 && s0.nonEmpty) Seq(s0.toSeq.sortBy(_._1)) else entry
+      } else entry
+    }
+
+    // merge_larger_dimension (final.py:52-70): collapse multi-cause entries
+    // to their single-valued attributes when support is preserved
+    val before0 = states(0).before
+    val after0 = states(0).after
+    val multi = mergeRes.filter(_.length > 1)
+    val keepOf: Map[Seq[Cause], Cause] = multi.map { entry =>
+      val byAttr = collection.mutable.LinkedHashMap.empty[String, collection.mutable.ArrayBuffer[String]]
+      for (c <- entry; (a, v) <- c)
+        if (!byAttr.getOrElseUpdate(a, collection.mutable.ArrayBuffer.empty).contains(v))
+          byAttr(a) += v
+      entry -> byAttr.collect { case (a, vs) if vs.length == 1 => (a, vs.head) }.toSeq
+    }.toMap
+    val dimCauses = (multi.flatten ++ keepOf.values.filter(_.nonEmpty)).distinct
+    val dimCounts = causeCounts(before0, dimCauses)
+    val nBefore0 = before0.count().toDouble
+    mergeRes = mergeRes.map { entry =>
+      if (entry.length > 1) {
+        val keep = keepOf(entry)
+        if (keep.nonEmpty) {
+          val beforeSupport = entry.map(c => dimCounts(c).toDouble).sum / nBefore0
+          val afterSupport = dimCounts(keep).toDouble / nBefore0
+          if (afterSupport > 0 && beforeSupport / afterSupport >= 0.9)
+            Seq(keep.sortBy(_._1))
+          else entry
+        } else entry
+      } else entry
+    }
+
+    // dedupe as sets of causes (robustspot.py:92-97)
+    val seen = collection.mutable.Set.empty[Set[Set[Item]]]
+    mergeRes = mergeRes.filter { entry =>
+      val key = entry.map(_.toSet).toSet
+      if (seen.contains(key)) false else { seen += key; true }
+    }
+
+    // final ranking: most negative support delta over round-0 before/after
+    val finalCauses = mergeRes.flatten.distinct
+    val beforeCounts = causeCounts(before0, finalCauses)
+    val afterCounts = causeCounts(after0, finalCauses)
+    val nAfter0 = after0.count().toDouble
+    val deltas = mergeRes.map { entry =>
+      entry.map(c => beforeCounts(c).toDouble).sum / nBefore0 -
+        entry.map(c => afterCounts(c).toDouble).sum / nAfter0
+    }
+    val result = mergeRes.zip(deltas).zipWithIndex
+      .sortBy { case ((_, d), i) => (d, i) }
+      .take(opt.k)
+      .map { case ((entry, _), _) => entry }
+
+    adapted.unpersist()
+    states.foreach(st => if (st != null) st.cached.unpersist())
+    result
+  }
+
+  /** Canonical prediction strings (evaluation.py:46-49). */
+  def predictions(rcs: Seq[Seq[Cause]]): Seq[String] =
+    Labels.canonicalPredictions(
+      rcs.flatMap(_.map(c => c.map { case (a, v) => s"$a=$v" }.mkString("&"))))
+}

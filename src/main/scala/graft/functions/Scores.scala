@@ -23,6 +23,16 @@ object Scores {
   def safeDiv(num: Column, den: Column): Column =
     when(den === 0.0, 0.0).otherwise(num / den)
 
+  /** IEEE-754 (numpy/pandas) division: x/0 -> ±Inf, 0/0 -> NaN. Spark's
+    * `Divide` returns NULL for any zero divisor (even doubles, non-ANSI),
+    * so formulas replicating numpy arithmetic must divide through this. */
+  def numpyDiv(num: Column, den: Column): Column =
+    when(den === 0.0,
+      when(num === 0.0 || isnan(num), Double.NaN)
+        .when(num > 0.0, Double.PositiveInfinity)
+        .otherwise(Double.NegativeInfinity))
+      .otherwise(num / den)
+
   /** Explanatory power, fundamental measure: (real - predict) / (A - F). */
   def explanatoryPower(real: Column, predict: Column, totalReal: Column, totalPredict: Column): Column =
     (real - predict) / (totalReal - totalPredict)

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.algorithms.{Adtributor, AutoRoot, RevRecAdtributor, RiskLoc, Squeeze}
+import graft.algorithms.{Adtributor, AutoRoot, HotSpot, RevRecAdtributor, RiskLoc, RobustSpot, Squeeze}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -69,6 +69,24 @@ object AlgorithmQueries {
       import s.implicits._
       Squeeze.run(anomalousSnapshot(s, dir), attrs)
         .toDF("root_cause").orderBy("root_cause")
+    },
+
+    GateQuery.rowsOnly("q45_hotspot") { (s, dir) =>
+      import s.implicits._
+      val cand = HotSpot.run(anomalousSnapshot(s, dir), attrs)
+      Seq((cand.elements.map(_.mkString("&")).mkString(";"),
+        cand.cuboid.mkString(","), cand.layer,
+        math.floor(cand.score * 1e6) / 1e6))
+        .toDF("elements", "cuboid", "layer", "score")
+    },
+
+    GateQuery.rowsOnly("q46_robustspot") { (s, dir) =>
+      import s.implicits._
+      // fundamental-measure mode over the same injected snapshot
+      val preds = RobustSpot.predictions(
+        RobustSpot.run(anomalousSnapshot(s, dir), attrs,
+          RobustSpot.Options(k = 3, derived = false)))
+      preds.toDF("root_cause").orderBy("root_cause")
     },
   )
 }

@@ -15,6 +15,7 @@ for alias, typ in [("bool", bool), ("object", object), ("int", int), ("float", f
         setattr(np, alias, typ)
 
 from algorithms.adtributor import adtributor
+from algorithms.robustspot.robustspot import robustspot
 from algorithms.rev_rec_adtributor import rev_rec_adtributor
 from algorithms.riskloc import riskloc
 from algorithms.autoroot import autoroot
@@ -96,13 +97,33 @@ def main():
         ("squeeze_default", run_squeeze, dict()),
     ])
 
+    # fixture3: derived measure (failure-rate KPI) for RobustSpot — success
+    # count a over denominator b; anomaly: success rate drops inside b=b1&c=c0
+    rng = np.random.default_rng(99)
+    idx = pd.MultiIndex.from_product(
+        [[f"{d}{i}" for i in range(card)] for d, card in dims],
+        names=[d for d, _ in dims])
+    f3 = pd.DataFrame(index=idx).reset_index()
+    n = len(f3)
+    f3["real_b"] = rng.integers(50, 150, n).astype(float)
+    f3["predict_b"] = f3["real_b"]
+    rate = np.where((f3["b"] == "b1") & (f3["c"] == "c0"), 0.55, 0.95)
+    f3["real_a"] = np.floor(f3["real_b"] * rate)
+    f3["predict_a"] = np.floor(f3["real_b"] * 0.95)
+    f3["real"] = f3["real_a"] / f3["real_b"]
+    f3["predict"] = f3["predict_a"] / f3["predict_b"]
+    f3 = f3.round(6)
+    f3.to_csv(f"{OUT}/fixture3.csv", index=False)
+    rs = robustspot(f3.copy(), attrs, k=3, derived=True)
+    g3 = {"robustspot_default": sorted(root_cause_postprocessing(rs, "robustspot").tolist())}
+
     with open(f"{OUT}/golden.json", "w") as f:
-        json.dump({"fixture1": g1, "fixture2": g2}, f, indent=2)
+        json.dump({"fixture1": g1, "fixture2": g2, "fixture3": g3}, f, indent=2)
     with open(f"{OUT}/golden.tsv", "w") as f:
-        for fix, g in [("fixture1", g1), ("fixture2", g2)]:
+        for fix, g in [("fixture1", g1), ("fixture2", g2), ("fixture3", g3)]:
             for name, preds in g.items():
                 f.write(f"{fix}\t{name}\t{';'.join(preds)}\n")
-    print(json.dumps({"fixture1": g1, "fixture2": g2}, indent=2))
+    print(json.dumps({"fixture1": g1, "fixture2": g2, "fixture3": g3}, indent=2))
 
 
 if __name__ == "__main__":
