@@ -10,7 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def allQueries: Seq[GateQuery] =
-    RelationalQueries.defs ++ ScoreQueries.defs ++ AlgorithmQueries.defs
+    RelationalQueries.defs ++ ScoreQueries.defs ++ AlgorithmQueries.defs ++
+      PipelineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

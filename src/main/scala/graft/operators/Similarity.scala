@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`array<float>`): brute-force
+  * cosine top-k as the exact baseline, random-hyperplane LSH and an
+  * IVF (inverted-file) index as the approximate scale paths.
+  *
+  * Everything is column algebra (`zip_with`/`aggregate` dot products —
+  * codegen'd, no UDFs). Scale shape:
+  *  - brute force is a broadcast of the (small) query set against the
+  *    corpus — one pass, no shuffle of the corpus;
+  *  - LSH shuffles on (band, bucket) — candidate volume tuned by bits;
+  *  - IVF probes `nprobe` of `nlist` centroid partitions — the corpus is
+  *    scanned only where the assignment column matches, which at scale
+  *    becomes a partition-pruned read when written bucketed by `cell`.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ over two float arrays, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0, 0.0).otherwise(dot(a, b) / d)
+  }
+
+  /** Exact top-k cosine neighbors for each query row (query set must be
+    * small enough to broadcast — it is crossed against the corpus). Output:
+    * (query_id, neighbor_id, cos, rank). Deterministic: ties broken by
+    * neighbor id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        when(col("qn") * col("cn") === 0.0, 0.0)
+          .otherwise(dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * a sign-symmetric value derived from a 64-bit mix — adequate for
+    * sign-LSH bucketing. */
+  private def planeComponent(plane: Int, dim: Int, seed: Long): Double = {
+    var h = seed ^ (plane.toLong * 0x9E3779B97F4A7C15L) ^ (dim.toLong * 0xC2B2AE3D27D4EB4FL)
+    h = (h ^ (h >>> 33)) * 0xFF51AFD7ED558CCDL
+    h = (h ^ (h >>> 33)) * 0xC4CEB9FE1A85EC53L
+    h = h ^ (h >>> 33)
+    (h.toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** Random-hyperplane signature: `bits` sign bits packed into a long.
+    * Vectors with high cosine agree on most bits. */
+  def rpSignature(vec: Column, dim: Int, bits: Int, seed: Long = 42L): Column = {
+    require(bits <= 63, "signature packs into a long")
+    (0 until bits).map { b =>
+      val plane = array((0 until dim).map(i => lit(planeComponent(b, i, seed))): _*)
+      when(dot(vec, plane) > 0.0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce[Column](_ + _)
+  }
+
+  /** LSH top-k: candidates share at least one signature band; exact cosine
+    * re-ranks the candidates. Recall is tuned by (bits, bands). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, bits: Int = 48, bands: Int = 6, seed: Long = 42L): DataFrame = {
+    require(bits % bands == 0)
+    val rowsPerBand = bits / bands
+    val bandMask = (1L << rowsPerBand) - 1
+
+    def banded(df: DataFrame, side: String) = df
+      .select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_v"),
+        rpSignature(col(vecCol), dim, bits, seed).as("sig"))
+      .select(col(s"${side}_id"), col(s"${side}_v"), posexplode(
+        array((0 until bands).map(b =>
+          shiftrightunsigned(col("sig"), b * rowsPerBand).bitwiseAND(lit(bandMask))): _*))
+        .as(Seq("band", "bucket")))
+
+    val cb = banded(corpus, "neighbor")
+    val qb = banded(queries, "query")
+    val candidates = cb.join(qb,
+        cb("band") === qb("band") && cb("bucket") === qb("bucket") &&
+          col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "query_v", "neighbor_id", "neighbor_v")
+      .distinct()
+
+    candidates
+      .withColumn("cos", cosine(col("query_v"), col("neighbor_v")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Lloyd k-means on the driver over a sampled subset — centroids are
+    * nlist × dim doubles (tiny). The heavy assignment pass stays
+    * distributed. */
+  def trainCentroids(corpus: DataFrame, vecCol: String, nlist: Int,
+      iters: Int = 5, sampleSize: Int = 2000, seed: Long = 42L): Array[Array[Double]] = {
+    val sample = corpus.select(vecCol).limit(sampleSize).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    val rng = new scala.util.Random(seed)
+    var centroids = rng.shuffle(sample.toSeq).take(nlist).map(_.clone()).toArray
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      for (v <- sample) {
+        val c = centroids.indices.maxBy(i => cosineLocal(v, centroids(i)))
+        counts(c) += 1
+        var j = 0; while (j < dim) { sums(c)(j) += v(j); j += 1 }
+      }
+      centroids = centroids.indices.map { i =>
+        if (counts(i) == 0) centroids(i)
+        else sums(i).map(_ / counts(i))
+      }.toArray
+    }
+    centroids
+  }
+
+  private def cosineLocal(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+  }
+
+  /** Nearest-centroid cell id as a column (argmax cosine over literal
+    * centroid arrays — codegen'd; nlist kept small). */
+  def cellAssignment(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(vec, array(c.map(lit): _*)).as("cos"), lit(i).as("cell"))
+    }
+    array_max(array(scored: _*)).getField("cell")
+  }
+
+  /** IVF top-k: corpus rows are pre-assigned to centroid cells; each query
+    * probes its `nprobe` nearest cells and re-ranks exactly within them. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, centroids: Array[Array[Double]], nprobe: Int = 3): DataFrame = {
+    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      cellAssignment(col(vecCol), centroids).as("cell"))
+    // nprobe nearest cells per query, as exploded (query, cell) rows
+    val cellScores = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(col("qv"), array(c.map(lit): _*)).as("cos"), lit(i).as("cell"))
+    }
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        slice(array_sort(array(cellScores: _*),
+          (l, r) => when(l.getField("cos") > r.getField("cos"), -1)
+            .when(l.getField("cos") < r.getField("cos"), 1).otherwise(0)),
+          1, nprobe).as("cells"))
+      .select(col("query_id"), col("qv"), explode(col("cells").getField("cell")).as("cell"))
+
+    probed.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+}

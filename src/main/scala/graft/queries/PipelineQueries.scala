@@ -1,0 +1,195 @@
+package graft.queries
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline gate queries over the `documents` and
+  * `embeddings` tables: deduplication, text analysis, and similarity
+  * search. SQL-expressible operators carry DuckDB oracles (double-math
+  * formulations so both engines round identically); LSH/MinHash/SimHash
+  * approximations are rows-only with exact-recall ScalaTest specs. */
+object PipelineQueries {
+
+  private def documents(s: SparkSession, dir: String): DataFrame =
+    graft.core.Tables.load(s, dir, "documents")
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    graft.core.Tables.load(s, dir, "embeddings")
+
+  private val stopwords = Seq("the", "a")
+
+  private val langMarkers = Map(
+    "en" -> Seq("the", "a", "data"),
+    "de" -> Seq("table", "row", "join"),
+    "zh" -> Seq("spark", "query", "stream"))
+
+  val defs: Seq[GateQuery] = Seq(
+
+    GateQuery("q50_dedup_exact",
+      """SELECT md5(text) AS fp, count(*) AS n_docs, min(doc_id) AS keeper
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin) { (s, dir) =>
+      Dedup.exactGroups(documents(s, dir), "doc_id", "text").orderBy("fp")
+    },
+
+    GateQuery("q51_token_stats",
+      """SELECT doc_id,
+        |  len(string_split_regex(text, '\s+')) AS n_tokens,
+        |  len(list_distinct(string_split_regex(text, '\s+'))) AS n_distinct
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        size(array_distinct(TextAnalysis.tokens(col("text")))).as("n_distinct"))
+        .orderBy("doc_id")
+    },
+
+    GateQuery("q52_quality_score",
+      """SELECT doc_id, round(
+        |  0.25 * least(len(string_split_regex(text,'\s+')) / 100.0, 1.0) +
+        |  0.25 * (len(list_distinct(string_split_regex(text,'\s+'))) * 1.0
+        |          / len(string_split_regex(text,'\s+'))) +
+        |  0.25 * (1.0 - len(list_filter(string_split_regex(text,'\s+'),
+        |                    x -> x IN ('the','a'))) * 1.0
+        |          / len(string_split_regex(text,'\s+'))) +
+        |  0.25 * (1.0 - (length(text) -
+        |      length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0
+        |          / length(text)), 6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text"), stopwords), 6).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    GateQuery("q53_langid_stopword",
+      // argmax(score, lang): ties go to the lexicographically largest lang
+      """WITH s AS (SELECT doc_id,
+        |  len(list_intersect(list_distinct(string_split_regex(text,'\s+')),
+        |      ['the','a','data'])) AS s_en,
+        |  len(list_intersect(list_distinct(string_split_regex(text,'\s+')),
+        |      ['table','row','join'])) AS s_de,
+        |  len(list_intersect(list_distinct(string_split_regex(text,'\s+')),
+        |      ['spark','query','stream'])) AS s_zh
+        |FROM documents)
+        |SELECT doc_id, CASE
+        |  WHEN s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+        |  WHEN s_en >= s_de THEN 'en'
+        |  ELSE 'de' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+        TextAnalysis.stopwordLangId(col("text"), langMarkers).as("pred_lang"))
+        .orderBy("doc_id")
+    },
+
+    GateQuery("q54_jaccard_pairs",
+      """WITH t AS (SELECT doc_id, lang,
+        |  list_distinct(string_split_regex(text, '\s+')) AS ws FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.ws, b.ws)) * 1.0
+        |        / len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jaccard
+        |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.ws, b.ws)) * 1.0
+        |      / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.blockedJaccardPairs(documents(s, dir), "doc_id", "text", "lang", 0.9)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b")
+    },
+
+    GateQuery("q55_cosine_topk",
+      """WITH e AS (SELECT vec_id, embedding,
+        |  sqrt((SELECT SUM(x::DOUBLE * x::DOUBLE)
+        |        FROM (SELECT unnest(embedding) AS x))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 20),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  (SELECT SUM(x::DOUBLE * y::DOUBLE)
+        |   FROM (SELECT unnest(q.embedding) AS x, unnest(c.embedding) AS y))
+        |  / (q.nrm * c.nrm) AS cos
+        | FROM q, e c WHERE c.vec_id != q.vec_id),
+        |r AS (SELECT query_id, neighbor_id, cos, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val e = embeddings(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", 3)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("query_id", "rank")
+    },
+
+    GateQuery("q56_knn_label",
+      """WITH e AS (SELECT vec_id, label, embedding,
+        |  sqrt((SELECT SUM(x::DOUBLE * x::DOUBLE)
+        |        FROM (SELECT unnest(embedding) AS x))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 50),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+        |  (SELECT SUM(x::DOUBLE * y::DOUBLE)
+        |   FROM (SELECT unnest(q.embedding) AS x, unnest(c.embedding) AS y))
+        |  / (q.nrm * c.nrm) AS cos
+        | FROM q, e c WHERE c.vec_id != q.vec_id),
+        |r AS (SELECT query_id, label, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s),
+        |v AS (SELECT query_id, label, count(*) AS votes FROM r
+        |      WHERE rank <= 5 GROUP BY 1, 2),
+        |w AS (SELECT query_id, label, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY votes DESC, label) AS vr FROM v)
+        |SELECT query_id, label AS knn_label FROM w WHERE vr = 1
+        |ORDER BY query_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = embeddings(s, dir)
+      val topk = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 50),
+        "vec_id", "embedding", 5)
+      topk.join(e.select(col("vec_id").as("neighbor_id"), col("label")), "neighbor_id")
+        .groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
+        .withColumn("vr", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("votes"), asc("label"))))
+        .filter(col("vr") === 1)
+        .select(col("query_id"), col("label").as("knn_label"))
+        .orderBy("query_id")
+    },
+
+    GateQuery.rowsOnly("q57_minhash_lsh") { (s, dir) =>
+      Dedup.minhashNearDuplicates(documents(s, dir), "doc_id", "text",
+        shingleSize = 2, numHashes = 64, bands = 32, threshold = 0.3)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b")
+    },
+
+    GateQuery.rowsOnly("q58_simhash") { (s, dir) =>
+      Dedup.simhashNearDuplicates(documents(s, dir), "doc_id", "text", maxHamming = 16)
+        .orderBy("id_a", "id_b")
+    },
+
+    GateQuery.rowsOnly("q59_fingerprint_rolling") { (s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+        TextAnalysis.rollingFingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    GateQuery.rowsOnly("q60_lsh_ann") { (s, dir) =>
+      val e = embeddings(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 3, dim = 64, bits = 48, bands = 12)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("query_id", "rank")
+    },
+
+    GateQuery.rowsOnly("q61_ivf_ann") { (s, dir) =>
+      val e = embeddings(s, dir)
+      val centroids = Similarity.trainCentroids(e, "embedding", nlist = 8, iters = 3)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 3, centroids, nprobe = 3)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("query_id", "rank")
+    },
+
+    GateQuery.rowsOnly("q62_ngram_langid") { (s, dir) =>
+      val docs = documents(s, dir)
+      val profiles = TextAnalysis.trainNgramProfiles(docs, "lang", "text",
+        n = 3, profileSize = 20)
+      docs.select(col("doc_id"),
+        TextAnalysis.ngramLangId(col("text"), profiles).as("pred_lang"))
+        .orderBy("doc_id")
+    },
+  )
+}
