@@ -57,28 +57,39 @@ object Adtributor {
     * elements sum to the instance total (adtributor.py:30). */
   def scoredElements(df: DataFrame, dims: Seq[String], derived: Boolean): DataFrame = {
     val merged = mergeDimensions(df, dims, derived)
-    val w = Window.partitionBy()
+    // Global sums from a broadcast 1-row aggregate (not an all-rows window,
+    // which would single-partition the frame).
     val n = lit(dims.size.toDouble)
+    val measures =
+      if (derived) Seq("real_a", "predict_a", "real_b", "predict_b")
+      else Seq("real", "predict")
+    val totals = merged.agg(
+      sum(measures.head).as(s"__t_${measures.head}"),
+      measures.tail.map(m => sum(m).as(s"__t_$m")): _*)
+    val withTotals = merged.crossJoin(broadcast(totals))
+    def t(m: String) = col(s"__t_$m")
+
     val withEp =
       if (derived) {
         val raw = Scores.explanatoryPowerDerived(
           col("real_a"), col("predict_a"), col("real_b"), col("predict_b"),
-          sum("predict_a").over(w), sum("predict_b").over(w))
-        merged.withColumn("ep", raw).withColumn("ep", col("ep") / sum("ep").over(w))
+          t("predict_a"), t("predict_b"))
+        val withRaw = withTotals.withColumn("ep", raw)
+        val epTotal = withRaw.agg(sum("ep").as("__t_ep"))
+        withRaw.crossJoin(broadcast(epTotal))
+          .withColumn("ep", col("ep") / col("__t_ep")).drop("__t_ep")
       } else
-        merged.withColumn("ep",
-          Scores.explanatoryPower(col("real"), col("predict"),
-            sum("real").over(w), sum("predict").over(w)))
+        withTotals.withColumn("ep",
+          Scores.explanatoryPower(col("real"), col("predict"), t("real"), t("predict")))
     val (sc, pc) = if (derived) (("real_a", "predict_a")) else (("real", "predict"))
     val surpriseCol =
       if (derived)
-        Scores.surprise(col("real_a"), col("predict_a"),
-          sum("real_a").over(w) / n, sum("predict_a").over(w) / n) +
-          Scores.surprise(col("real_b"), col("predict_b"),
-            sum("real_b").over(w) / n, sum("predict_b").over(w) / n)
+        Scores.surprise(col("real_a"), col("predict_a"), t("real_a") / n, t("predict_a") / n) +
+          Scores.surprise(col("real_b"), col("predict_b"), t("real_b") / n, t("predict_b") / n)
       else
-        Scores.surprise(col(sc), col(pc), sum(sc).over(w) / n, sum(pc).over(w) / n)
+        Scores.surprise(col(sc), col(pc), t(sc) / n, t(pc) / n)
     withEp.withColumn("surprise", surpriseCol)
+      .drop(measures.map(m => s"__t_$m"): _*)
   }
 
   /** Full Adtributor: cumulative-EP candidate per dimension, top-k by

@@ -53,9 +53,14 @@ object RiskLoc {
   }
 
   /** Decorate the snapshot with ep/deviation/partition/weight/ep_z columns
-    * (riskloc.py:9-32,163-187). Returns (scoredDf, adjEpThreshold). */
-  def score(df0: DataFrame, opt: Options): (DataFrame, Double) = {
-    var df = Snapshots.withDeviation(Snapshots.withExplanatoryPower(df0, opt.derived))
+    * (riskloc.py:9-32,163-187). Returns (scoredDf, adjEpThreshold, base);
+    * `base` is persisted before the cutoff/ep-sum actions so the input
+    * lineage (at scale: the raw leaf scan) is read once — the caller
+    * unpersists it once the scored frame is materialized. */
+  def score(df0: DataFrame, opt: Options): (DataFrame, Double, DataFrame) = {
+    val base = Snapshots.withDeviation(Snapshots.withExplanatoryPower(df0, opt.derived))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var df = base
     val cut = cutoff(df, opt.nRemove, opt.removeRelative)
     val anomalyRight = math.copySign(1.0, cut) > 0
 
@@ -79,7 +84,7 @@ object RiskLoc {
       if (epSum < 0) (df.withColumn("ep", -col("ep")), -epSum) else (df, epSum)
     val scored = dfSigned
       .withColumn("ep_z", when(col("ep") > 0, col("ep")).otherwise(0.0))
-    (scored, anomalyEpSum * opt.pepThreshold)
+    (scored, anomalyEpSum * opt.pepThreshold, base)
   }
 
   /** One layer's search over all its cuboids with a single expand-aggregate
@@ -212,9 +217,10 @@ object RiskLoc {
   /** Full RiskLoc: score, then remove-and-repeat search
     * (riskloc.py:162-215). */
   def run(df0: DataFrame, attributes: Seq[String], opt: Options = Options()): Seq[RootCause] = {
-    val (scored0, adjEpThreshold) = score(df0, opt)
+    val (scored0, adjEpThreshold, base) = score(df0, opt)
     var df = scored0.persist(StorageLevel.MEMORY_AND_DISK)
     df.count() // materialize before the loop
+    base.unpersist()
 
     val pruned = collection.mutable.Map.empty[String, collection.mutable.ArrayBuffer[String]]
     val usePrune = opt.pruneElements

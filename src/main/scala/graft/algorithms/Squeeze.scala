@@ -113,8 +113,9 @@ object Squeeze {
           .withColumn("real", graft.functions.Scores.safeDiv(col("real_a"), col("real_b")))
           .withColumn("predict", graft.functions.Scores.safeDiv(col("predict_a"), col("predict_b")))
       else df0.filter(col("predict") > 0)
-    val minReal = df.agg(min("real")).collect()(0).getDouble(0)
-    if (minReal < 0) df = df.withColumn("real", col("real") - minReal)
+    val base = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val minReal = base.agg(min("real")).collect()(0).getDouble(0)
+    df = if (minReal < 0) base.withColumn("real", col("real") - minReal) else base
     df = df.withColumn("deviation", deviationCol).persist(StorageLevel.MEMORY_AND_DISK)
 
     val nLeaves = df.count()
@@ -148,7 +149,11 @@ object Squeeze {
 
     // auto score weight (squeeze.py:281-300, revised formula)
     val nClusters = intervals.size
-    val numAttr = attributes.map(a => df.select(a).distinct().count()).sum.toDouble
+    // all attribute cardinalities in ONE pass (vs one job per attribute)
+    val cardRow = df.agg(
+      countDistinct(col(attributes.head)).as("c0"),
+      attributes.tail.map(a => countDistinct(col(a))): _*).collect()(0)
+    val numAttr = (0 until attributes.size).map(cardRow.getLong).sum.toDouble
     val scoreWeight = opt.scoreWeight.getOrElse {
       val gCluster = math.log(nClusters + 1.0) / nClusters
       val gAttribute = numAttr / math.log(numAttr + 1.0)
@@ -160,7 +165,7 @@ object Squeeze {
       locateInCluster(df, attributes, lo, hi, isNormal, scoreWeight, opt)
     }.collect { case Some(rc) => rc }
 
-    df.unpersist()
+    df.unpersist(); base.unpersist()
     // unique element-sets -> canonical strings (squeeze.py:65-70)
     Labels.canonicalPredictions(
       rootCauses.map(rc => rc.map(_.label).sorted.mkString(";")).distinct)

@@ -30,22 +30,28 @@ object Snapshots {
       .withColumn("predict", Scores.safeDiv(col("predict_a"), col("predict_b")))
   }
 
-  /** Add `ep` (explanatory power) using global sums computed in the same
-    * distributed pass (an empty-partition window → one exchange, no
-    * driver round-trip). For derived measures, EP is sum-normalized to 1
-    * (utils/element_scores.py:4-27). */
+  /** Add `ep` (explanatory power) using global sums from a broadcast
+    * 1-row aggregate (an all-rows window would funnel every row through a
+    * single partition — fatal at scale; the crossJoin(broadcast) keeps the
+    * decorate pass embarrassingly parallel). For derived measures, EP is
+    * sum-normalized to 1 (utils/element_scores.py:4-27). */
   def withExplanatoryPower(df: DataFrame, derived: Boolean = false): DataFrame = {
-    val w = Window.partitionBy()
     if (derived) {
+      val t1 = df.agg(sum("predict_a").as("__tpa"), sum("predict_b").as("__tpb"))
       val raw = Scores.explanatoryPowerDerived(
         col("real_a"), col("predict_a"), col("real_b"), col("predict_b"),
-        sum("predict_a").over(w), sum("predict_b").over(w))
-      val withRaw = df.withColumn("ep", raw)
-      withRaw.withColumn("ep", col("ep") / sum("ep").over(w))
+        col("__tpa"), col("__tpb"))
+      val withRaw = df.crossJoin(broadcast(t1))
+        .withColumn("ep", raw).drop("__tpa", "__tpb")
+      val t2 = withRaw.agg(sum("ep").as("__tep"))
+      withRaw.crossJoin(broadcast(t2))
+        .withColumn("ep", col("ep") / col("__tep")).drop("__tep")
     } else {
-      df.withColumn("ep",
-        Scores.explanatoryPower(col("real"), col("predict"),
-          sum("real").over(w), sum("predict").over(w)))
+      val t = df.agg(sum("real").as("__tr"), sum("predict").as("__tp"))
+      df.crossJoin(broadcast(t))
+        .withColumn("ep",
+          Scores.explanatoryPower(col("real"), col("predict"), col("__tr"), col("__tp")))
+        .drop("__tr", "__tp")
     }
   }
 

@@ -14,7 +14,11 @@ import org.apache.spark.sql.functions._
 object AlgorithmQueries {
 
   /** Snapshot with a known injected anomaly. predict carries ±2.5%
-    * value-hash noise so deviations spread as in real forecasts. */
+    * value-hash noise so deviations spread as in real forecasts.
+    * Persisted: the localization loops run dozens of actions over this
+    * ~150-leaf frame — Spark's cache manager dedupes by logical plan, so
+    * every algorithm query in a session shares one materialization of the
+    * underlying lineitem aggregation. */
   def anomalousSnapshot(s: SparkSession, dir: String): DataFrame =
     ScoreQueries.snapshot(s, dir)
       .select(col("rf"), col("ls"), col("brand"),
@@ -23,6 +27,7 @@ object AlgorithmQueries {
         (col("vreal") * (lit(1.0) +
           (pmod(hash(col("rf"), col("ls"), col("brand")), lit(1000)) / 1000.0 - 0.5) * 0.05))
           .as("predict"))
+      .persist()
 
   private val attrs = Seq("brand", "ls", "rf")
 

@@ -353,9 +353,9 @@ object RelationalQueries {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin) { (s, dir) =>
       val counted = Tables.events(s, dir).groupBy("event_type").agg(count(lit(1)).as("cnt"))
-      counted
+      counted.crossJoin(broadcast(counted.agg(sum("cnt").as("__tot"))))
         .select(col("event_type"), col("cnt"),
-          round(col("cnt") * lit(1.0) / sum("cnt").over(Window.partitionBy()), 6).as("support"))
+          round(col("cnt") * lit(1.0) / col("__tot"), 6).as("support"))
         .orderBy("event_type")
     },
 

@@ -34,9 +34,11 @@ object ScoreQueries {
       |  GROUP BY 1, 2, 3)
       |""".stripMargin
 
+  /** Broadcast 1-row totals instead of an all-rows window (which would
+    * single-partition the frame). */
   private def totalsOver(df: DataFrame): DataFrame =
-    df.withColumn("ta", sum("vreal").over(Window.partitionBy()))
-      .withColumn("tf", sum("vpred").over(Window.partitionBy()))
+    df.crossJoin(broadcast(df.agg(
+      sum("vreal").as("ta"), sum("vpred").as("tf"), count(lit(1)).as("tn"))))
 
   val defs: Seq[GateQuery] = Seq(
 
@@ -129,12 +131,10 @@ object ScoreQueries {
         |       AS influence
         |FROM snap
         |ORDER BY rf, ls, brand""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy()
-      val n = count(lit(1)).over(w)
-      val avgVLoo = (sum("vreal").over(w) - col("vreal")) / (n - 1)
-      val avgFLoo = (sum("vpred").over(w) - col("vpred")) / (n - 1)
+      val avgVLoo = (col("ta") - col("vreal")) / (col("tn") - 1)
+      val avgFLoo = (col("tf") - col("vpred")) / (col("tn") - 1)
       val ratio = Scores.safeDiv(col("vreal") - col("vpred"), avgVLoo - avgFLoo)
-      snapshot(s, dir)
+      totalsOver(snapshot(s, dir))
         .select(col("rf"), col("ls"), col("brand"),
           round(lit(1) - lit(1) / (abs(ratio) + 1), 6).as("influence"))
         .orderBy("rf", "ls", "brand")
