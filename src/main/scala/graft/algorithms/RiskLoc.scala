@@ -87,67 +87,31 @@ object RiskLoc {
     (scored, anomalyEpSum * opt.pepThreshold, base)
   }
 
-  /** One layer's search over all its cuboids with a single expand-aggregate
-    * plus two batched risk passes. Returns the best root cause (max EP among
-    * each cuboid's first risk-passing candidate in EP-desc order), matching
-    * the reference's sequential scan semantics (riskloc.py:99-159). */
-  private def searchLayer(
-      df: DataFrame,
-      attributes: Seq[String],
-      layer: Int,
-      adjEpThreshold: Double,
-      pruned: collection.mutable.Map[String, collection.mutable.ArrayBuffer[String]],
-      opt: Options): Option[RootCause] = {
+  private type PruneState = Map[String, Seq[String]]
+  private case class Winner(cid: Int, key: Seq[String], ep: Double,
+      high: Double, low: Double, risk: Double)
 
-    val cuboids = attributes.combinations(layer).toSeq // lexicographic, = itertools order
-    val spark = df.sparkSession
+  private def pruneCond(c: Seq[String], state: PruneState) = c
+    .flatMap(a => state.get(a).filter(_.nonEmpty).map(vs => !col(a).isin(vs: _*)))
+    .reduceOption(_ && _).getOrElse(lit(true))
 
-    // Expand: one array element per cuboid; null when the row is pruned for
-    // that cuboid. Pruned lists stay small (bounded by layer-1 attribute
-    // cardinality); swap isin for a broadcast anti-join if they ever grow.
-    val structs = cuboids.zipWithIndex.map { case (c, i) =>
-      val pruneOk = c
-        .flatMap(a => pruned.get(a).filter(_.nonEmpty)
-          .map(vals => !col(a).isin(vals.toSeq: _*)))
-        .reduceOption(_ && _).getOrElse(lit(true))
-      when(pruneOk, struct(lit(i).as("cid"), array(c.map(col): _*).as("key")))
+  /** Multi-cuboid expand: one `cb = {cid, key}` row per (leaf, cuboid),
+    * rows pruned per cuboid (only prune keys within the cuboid apply --
+    * riskloc.py:75-86). */
+  private def expandCuboids(df: DataFrame, cuboids: Seq[(Seq[String], Int)],
+      state: Int => PruneState): DataFrame = {
+    val structs = cuboids.map { case (c, i) =>
+      when(pruneCond(c, state(i)), struct(lit(i).as("cid"), array(c.map(col): _*).as("key")))
         .otherwise(lit(null))
     }
-    val exploded = df
-      .withColumn("cb", explode(array(structs: _*)))
-      .filter(col("cb").isNotNull)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    df.withColumn("cb", explode(array(structs: _*))).filter(col("cb").isNotNull)
+  }
 
-    val eps = exploded
-      .groupBy(col("cb.cid").as("cid"), col("cb.key").as("key"))
-      .agg(sum("ep").as("ep"), sum("ep_z").as("ep_z"), sum("partition").as("part_sum"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    // Layer-1 element pruning (riskloc.py:89-96): prune elements that are
-    // entirely normal or below the adjusted EP threshold.
-    if (layer == 1 && pruned != null) {
-      eps.filter(col("ep_z") < adjEpThreshold || col("part_sum") === 0)
-        .select(col("cid"), col("key").getItem(0))
-        .collect()
-        .foreach { r =>
-          pruned.getOrElseUpdate(cuboids(r.getInt(0)).head,
-            collection.mutable.ArrayBuffer.empty[String]) += r.getString(1)
-        }
-    }
-
-    // Candidates: anomalous elements above the adjusted EP threshold,
-    // capped PER CUBOID (highest-EP first — the reference scans each
-    // cuboid's candidates in EP-desc order, so a cap only ever drops the
-    // tail of that scan, never another cuboid's head).
-    val candKeys = eps
-      .filter(col("part_sum") > 0 && col("ep") > adjEpThreshold)
-      .select("cid", "key", "ep")
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("cid").orderBy(desc("ep"))))
-      .filter(col("rn") <= opt.maxCandidatesPerCuboid)
-      .drop("rn")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
+  /** Two batched risk passes for every candidate at once, then the
+    * per-cuboid EP-desc scan on the driver: each cuboid's winner is its
+    * first risk-passing candidate (riskloc.py:120-159). */
+  private def riskWinners(exploded: DataFrame, candKeys: DataFrame,
+      opt: Options): Map[Int, Winner] = {
     val nz = col("real") =!= 0 && col("predict") =!= 0
 
     // Pass 1: selection-level sums per candidate.
@@ -182,12 +146,7 @@ object RiskLoc {
       .join(stats2, Seq("cid", "key"), "left")
       .collect()
 
-    exploded.unpersist(); eps.unpersist(); candKeys.unpersist()
-
-    // Driver: per cuboid, scan candidates in EP-desc order; first with
-    // risk >= threshold wins the cuboid; global best = max EP.
-    val byCuboid = collected.groupBy(_.getInt(0))
-    val winners = byCuboid.flatMap { case (cid, rows) =>
+    collected.groupBy(_.getInt(0)).flatMap { case (cid, rows) =>
       val ordered = rows.sortBy(r => (-r.getDouble(2), r.getSeq[String](1).mkString("\u0000")))
       ordered.iterator.map { r =>
         val ep = r.getDouble(2)
@@ -195,23 +154,115 @@ object RiskLoc {
         val high = wa / (wa + wn + 1.0)
         val w2 = if (r.isNullAt(7)) 0.0 else r.getDouble(7)
         val nNz = r.getLong(8)
-        val w1 = if (r.schema.fieldNames.contains("w1") && !r.isNullAt(9)) r.getDouble(9) else 0.0
+        val w1 = if (!r.isNullAt(9)) r.getDouble(9) else 0.0
         val low = if (nNz > 0 && w2 != 0.0) w1 / w2 else 0.0
-        val risk = high - low
-        (cid, r.getSeq[String](1), ep, high, low, risk)
-      }.find(_._6 >= opt.riskThreshold)
+        Winner(cid, r.getSeq[String](1), ep, high, low, high - low)
+      }.find(_.risk >= opt.riskThreshold).map(cid -> _)
     }
-    if (winners.isEmpty) None
-    else {
-      val best = winners.minBy { case (cid, _, ep, _, _, _) => (-ep, cid) }
-      val cuboid = cuboids(best._1)
-      Some(RootCause(
-        elements = Seq(Element(cuboid, best._2)),
-        cuboid = cuboid,
-        layer = layer,
-        scores = Map("ep" -> best._3, "high_risk" -> best._4,
-          "low_risk" -> best._5, "risk" -> best._6)))
+  }
+
+  /** One remove-and-repeat iteration (reference search_anomaly,
+    * riskloc.py:99-159) in at most TWO multi-cuboid passes:
+    *
+    *  - stage 1 covers layer 1: one expand-aggregate yields every
+    *    attribute's element sums (for candidates AND this iteration's
+    *    prune additions), then the batched risk passes; a layer-1 winner
+    *    ends the iteration -- the common case, and the early exit that
+    *    matters at scale;
+    *  - stage 2 (only when layer 1 has no winner) covers ALL deeper
+    *    layers in one expand-aggregate + risk pass; the reference's
+    *    layer-by-layer early exit becomes a driver-side selection order
+    *    over the collected winners, costing zero extra Spark jobs.
+    *
+    * Prune-state visibility matches the reference exactly: layer-1
+    * cuboids see the iteration-start state (additions for attr X only
+    * land after X's own aggregation), deeper cuboids see this
+    * iteration's additions (riskloc.py:108-117). */
+  private def searchAnomaly(
+      df: DataFrame,
+      attributes: Seq[String],
+      adjEpThreshold: Double,
+      pruned: collection.mutable.Map[String, collection.mutable.ArrayBuffer[String]],
+      usePrune: Boolean,
+      opt: Options): Option[RootCause] = {
+
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nAttrs = attributes.size
+    def snapshotState: PruneState = pruned.iterator.map { case (k, v) => k -> v.toSeq }.toMap
+    val prunedOld: PruneState = if (usePrune) snapshotState else Map.empty
+
+    // ---- stage 1: layer 1
+    val layer1 = attributes.map(Seq(_)).zipWithIndex
+    val exploded1 = expandCuboids(df, layer1, _ => prunedOld)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val epsA = exploded1
+      .groupBy(col("cb.cid").as("cid"), col("cb.key").as("key"))
+      .agg(sum("ep").as("ep"), sum("ep_z").as("ep_z"), sum("partition").as("part_sum"))
+      .collect()
+
+    if (usePrune) {
+      // riskloc.py:89-96: prune layer-1 elements that are entirely normal
+      // or below the adjusted EP threshold
+      epsA.foreach { r =>
+        if (r.getDouble(3) < adjEpThreshold || r.getLong(4) == 0)
+          pruned.getOrElseUpdate(attributes(r.getInt(0)),
+            collection.mutable.ArrayBuffer.empty[String]) += r.getSeq[String](1).head
+      }
     }
+    val prunedNew: PruneState = if (usePrune) snapshotState else Map.empty
+
+    val candL1 = epsA.toSeq
+      .filter(r => r.getLong(4) > 0 && r.getDouble(2) > adjEpThreshold)
+      .map(r => (r.getInt(0), r.getSeq[String](1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(-_._3).take(opt.maxCandidatesPerCuboid)
+      }
+
+    val winner1 =
+      if (candL1.isEmpty) None
+      else riskWinners(exploded1, candL1.toDF("cid", "key", "ep"), opt)
+        .values.toSeq.sortBy(w => (-w.ep, w.cid)).headOption
+    exploded1.unpersist()
+    winner1 match {
+      case Some(w) =>
+        val cuboid = Seq(attributes(w.cid))
+        return Some(RootCause(Seq(Element(cuboid, w.key)), cuboid, 1,
+          Map("ep" -> w.ep, "high_risk" -> w.high, "low_risk" -> w.low, "risk" -> w.risk)))
+      case None => ()
+    }
+    if (nAttrs == 1) return None
+
+    // ---- stage 2: every deeper layer in one pass
+    val deep = (2 to nAttrs).flatMap(l => attributes.combinations(l).toSeq)
+      .zipWithIndex.map { case (c, i) => (c, i + nAttrs) }
+    val deepCuboids = deep.map(_._1)
+    def layerOf(cid: Int): Int = deepCuboids(cid - nAttrs).size
+
+    val exploded2 = expandCuboids(df, deep, _ => prunedNew)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val candsDeep = exploded2
+      .groupBy(col("cb.cid").as("cid"), col("cb.key").as("key"))
+      .agg(sum("ep").as("ep"), sum("partition").as("part_sum"))
+      .filter(col("part_sum") > 0 && col("ep") > adjEpThreshold)
+      .select("cid", "key", "ep")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cid").orderBy(desc("ep"))))
+      .filter(col("rn") <= opt.maxCandidatesPerCuboid)
+      .drop("rn")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val winners = riskWinners(exploded2, candsDeep, opt)
+    exploded2.unpersist(); candsDeep.unpersist()
+
+    (2 to nAttrs).iterator
+      .map(layer => winners.values.filter(w => layerOf(w.cid) == layer).toSeq
+        .sortBy(w => (-w.ep, w.cid)).headOption)
+      .collectFirst { case Some(w) =>
+        val cuboid = deepCuboids(w.cid - nAttrs)
+        RootCause(Seq(Element(cuboid, w.key)), cuboid, cuboid.size,
+          Map("ep" -> w.ep, "high_risk" -> w.high, "low_risk" -> w.low, "risk" -> w.risk))
+      }
   }
 
   /** Full RiskLoc: score, then remove-and-repeat search
@@ -232,10 +283,7 @@ object RiskLoc {
       val anomalyEpSum = if (epSumRow.isNullAt(0)) 0.0 else epSumRow.getDouble(0)
       if (anomalyEpSum < adjEpThreshold) continue = false
       else {
-        val found = (1 to attributes.size).iterator
-          .map(layer => searchLayer(df, attributes, layer, adjEpThreshold,
-            if (usePrune) pruned else collection.mutable.Map.empty, opt))
-          .collectFirst { case Some(rc) => rc }
+        val found = searchAnomaly(df, attributes, adjEpThreshold, pruned, usePrune, opt)
         found match {
           case None => continue = false
           case Some(rc) =>

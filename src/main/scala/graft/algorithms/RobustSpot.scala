@@ -111,7 +111,12 @@ object RobustSpot {
   // --------------------------------------------------------- select/expand
 
   private final case class RoundState(before: DataFrame, after: DataFrame,
-      expand: DataFrame, cached: DataFrame)
+      scoredWithTimes: DataFrame, cached: DataFrame) {
+    /** The weighted expansion rows (screened, positive times). */
+    def expand: DataFrame = scoredWithTimes
+      .filter(col("__after") && col("__times") >= 1)
+      .withColumnRenamed("__times", "w")
+  }
 
   /** select_expand.py:21-85 — screen by ID knee + CA threshold, then weight
     * surviving rows by the int-truncated amplification factor. */
@@ -124,15 +129,14 @@ object RobustSpot {
       .filter(x => !x.isNaN && x > 0).sorted
     val threshold = idThreshold(ids)
 
-    val after = scored.filter(col("ID") > threshold && col("CA") > opt.caThreshold)
+    val afterCond = col("ID") > threshold && col("CA") > opt.caThreshold
     // int() truncation toward zero (select_expand.py:76-79); non-positive
-    // times = zero replicas = the row never reaches expand_df
+    // times = zero replicas = the row never reaches the expansion
     val times =
       if (opt.derived) (col("ID") * col("CA") * opt.lambdaAmplification).cast("long")
       else (col("ID") * opt.lambdaAmplification).cast("long")
-    val expand = after.withColumn("w", times).filter(col("w") >= 1)
-      .select((attrs.map(col) :+ col("w")): _*)
-    RoundState(scored.drop("ID", "CA"), after, expand, scored)
+    val swt = scored.withColumn("__after", afterCond).withColumn("__times", times)
+    RoundState(scored.drop("ID", "CA"), scored.filter(afterCond), swt, scored)
   }
 
   // --------------------------------------------------------------- mining
@@ -153,35 +157,36 @@ object RobustSpot {
       }
   }
 
-  /** Histogram of item-match bitmasks: one row-pass covers every itemset
-    * count needed by a mining round. */
-  private def maskHistogram(df: DataFrame, items: Seq[Item],
-      weight: Option[String]): Map[Int, Double] = {
-    val mask = items.zipWithIndex.map { case ((a, v), i) =>
-      when(col(a) === lit(v), 1 << i).otherwise(0)
-    }.reduceOption(_ + _).getOrElse(lit(0))
-    val agg = weight match {
-      case Some(w) => sum(col(w)).cast("double")
-      case None => count(lit(1)).cast("double")
-    }
-    df.groupBy(mask.as("mask")).agg(agg.as("cnt"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-  }
-
   private def supp(hist: Map[Int, Double], bits: Int): Double =
     hist.collect { case (m, c) if (m & bits) == bits => c }.sum
 
   /** One mining round (mining.py:76-107): association rules over the
-    * mode-itemset power set, confidence filter, support-delta top-5. */
+    * mode-itemset power set, confidence filter, support-delta top-5.
+    * All three support tables (weighted expand, before, after) come from
+    * ONE bitmask-histogram pass over the round's scored frame — every
+    * itemset/rule support is then a driver-side sum. */
   private def mine(state: RoundState, attrs: Seq[String], opt: Options): Seq[Cause] = {
-    if (state.expand.isEmpty) return Seq.empty
     val modes = weightedModes(state.expand, attrs)
+    if (modes.isEmpty) return Seq.empty // empty expansion (mining.py degenerate case)
     val items: Seq[Item] = attrs.map(a => (a, modes(a)))
     val idxs = items.indices
 
-    val expandHist = maskHistogram(state.expand, items, Some("w"))
-    val beforeHist = maskHistogram(state.before, items, None)
-    val afterHist = maskHistogram(state.after, items, None)
+    // one pass: before = all rows, after = screened rows, expand = screened
+    // rows weighted by their (positive) expansion times
+    val mask = items.zipWithIndex.map { case ((a, v), i) =>
+      when(col(a) === lit(v), 1 << i).otherwise(0)
+    }.reduce(_ + _)
+    val hists = state.scoredWithTimes
+      .groupBy(mask.as("mask"))
+      .agg(
+        count(lit(1)).cast("double").as("n_before"),
+        count(when(col("__after"), lit(1))).cast("double").as("n_after"),
+        sum(when(col("__after") && col("__times") >= 1, col("__times"))
+          .otherwise(0L)).cast("double").as("n_expand"))
+      .collect()
+    val beforeHist = hists.map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val afterHist = hists.map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    val expandHist = hists.map(r => r.getInt(0) -> r.getDouble(3)).toMap
     val nBefore = beforeHist.values.sum
     val nAfter = afterHist.values.sum
 

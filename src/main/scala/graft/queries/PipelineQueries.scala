@@ -153,8 +153,11 @@ object PipelineQueries {
     },
 
     GateQuery.rowsOnly("q57_minhash_lsh") { (s, dir) =>
+      // 16 bands x 4 rows: LSH s-curve threshold ~ (1/16)^(1/4) ~ 0.5 —
+      // banding matched to the verify threshold keeps candidate volume
+      // near-linear in the true near-dup count
       Dedup.minhashNearDuplicates(documents(s, dir), "doc_id", "text",
-        shingleSize = 2, numHashes = 64, bands = 32, threshold = 0.3)
+        shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.5)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id_a", "id_b")
     },
