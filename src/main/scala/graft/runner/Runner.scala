@@ -1,0 +1,127 @@
+package graft.runner
+
+import graft.algorithms._
+import graft.eval.Evaluation
+import graft.operators.Snapshots
+import graft.sources.{InstanceSource, RsLabels, RsSource}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.util.concurrent.Executors
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+
+/** Batch-evaluation runner — the engine's `run.py` (reference run.py +
+  * utils/run_utils.py): enumerate instance files under a directory, run
+  * one localization algorithm per instance, score set-match F1 against
+  * ground truth, and write per-instance + per-(dataset, folder) summary
+  * CSVs.
+  *
+  * Parallelism: the reference forks 10 OS processes; here instances are
+  * submitted concurrently against one SparkSession (FAIR scheduling) —
+  * each instance's jobs interleave across the cluster, which is the shape
+  * that scales past one machine.
+  *
+  * Usage: Runner <algorithm> --run-path <dir> [--data-root data]
+  *   [--n-threads 10] [--derived true|false] [--out results]
+  * Algorithms: riskloc | adtributor | rev_rec_adtributor | autoroot |
+  *   squeeze | hotspot | robustspot
+  */
+object Runner {
+
+  final case class InstanceResult(dataset: String, folder: String, file: String,
+      f1: Double, tp: Int, fp: Int, fn: Int, seconds: Double)
+
+  def runInstance(spark: SparkSession, dataRoot: String,
+      ref: InstanceSource.InstanceRef, algorithm: String,
+      derivedFlag: Option[Boolean]): InstanceResult = {
+    val rsData = ref.dataset == "RS"
+    val derived = derivedFlag.getOrElse(ref.dataset == "D" || rsData)
+    val dir = ref.dir(dataRoot)
+
+    val (df, label): (DataFrame, String) =
+      if (rsData) {
+        val anomaly = RsLabels.labelFor(dir, ref.file)
+        val raw = RsSource.readRaw(spark, s"$dir/${ref.file}.csv")
+        (RsSource.snapshot(raw, anomaly.timestamp), anomaly.label)
+      } else if (derived)
+        (InstanceSource.readDerived(spark, dir, ref.file),
+          InstanceSource.injectionLabel(dir, ref.file))
+      else
+        (InstanceSource.readFundamental(spark, dir, ref.file),
+          InstanceSource.injectionLabel(dir, ref.file))
+
+    val attributes = Snapshots.attributes(df)
+    val t0 = System.nanoTime()
+    val predictions: Seq[String] = algorithm match {
+      case "riskloc" =>
+        RiskLoc.predictions(RiskLoc.run(df, attributes, RiskLoc.Options(derived = derived)))
+      case "adtributor" =>
+        Adtributor.predictions(Adtributor.run(df, attributes, Adtributor.Options(derived = derived)))
+      case "rev_rec_adtributor" =>
+        RevRecAdtributor.predictions(RevRecAdtributor.run(df, attributes,
+          RevRecAdtributor.Options(derived = derived)))
+      case "autoroot" =>
+        AutoRoot.predictions(AutoRoot.run(df, attributes, AutoRoot.Options(deltaThreshold = 0.25)))
+      case "squeeze" =>
+        Squeeze.run(df, attributes, Squeeze.Options(derived = derived))
+      case "hotspot" =>
+        HotSpot.predictions(HotSpot.run(df, attributes))
+      case "robustspot" =>
+        RobustSpot.predictions(RobustSpot.run(df, attributes, RobustSpot.Options(derived = derived)))
+      case other => throw new IllegalArgumentException(s"unknown algorithm: $other")
+    }
+    val seconds = (System.nanoTime() - t0) / 1e9
+
+    val s = Evaluation.score(predictions, label)
+    InstanceResult(ref.dataset, ref.folder, ref.file, s.f1, s.tp, s.fp, s.fn, seconds)
+  }
+
+  /** Per-(dataset, folder) aggregate with recomputed F1
+    * (run_utils.py:142-165). */
+  def summarize(spark: SparkSession, results: Seq[InstanceResult]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    results.toDF()
+      .groupBy("dataset", "folder")
+      .agg(sum("tp").as("tp"), sum("fp").as("fp"), sum("fn").as("fn"),
+        sum("seconds").as("seconds"))
+      .withColumn("f1",
+        when(lit(2) * col("tp") + col("fp") + col("fn") === 0, 0.0)
+          .otherwise(lit(2.0) * col("tp") / (lit(2) * col("tp") + col("fp") + col("fn"))))
+      .orderBy("dataset", "folder")
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: Runner <algorithm> --run-path <dir> [...]")
+    val algorithm = args(0)
+    val opts = args.drop(1).sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    val dataRoot = opts.getOrElse("data-root", "data")
+    val runPath = opts.getOrElse("run-path", "")
+    val nThreads = opts.getOrElse("n-threads", "10").toInt
+    val derivedFlag = opts.get("derived").map(_.toBoolean)
+    val out = opts.getOrElse("out", "results")
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = graft.core.Sessions.local(cpus, cpus, s"graft-run-$algorithm")
+    spark.sparkContext.setLocalProperty("spark.scheduler.mode", "FAIR")
+
+    val refs = InstanceSource.instances(dataRoot, runPath)
+    require(refs.nonEmpty, s"no instances under $dataRoot/$runPath")
+
+    val pool = Executors.newFixedThreadPool(nThreads)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val futures = refs.map(ref => Future(runInstance(spark, dataRoot, ref, algorithm, derivedFlag)))
+    val results = Await.result(Future.sequence(futures), Duration.Inf)
+    pool.shutdown()
+
+    import spark.implicits._
+    val all = results.toDF().orderBy("dataset", "folder", "file")
+    val summary = summarize(spark, results)
+    summary.show(1000, truncate = false)
+    InstanceSource.writeCsv(all, s"$out/$algorithm-all")
+    InstanceSource.writeCsv(summary, s"$out/$algorithm-summary")
+    spark.stop()
+  }
+}
