@@ -92,4 +92,33 @@ class FixtureSpec extends AnyFunSuite {
       RevRecAdtributor.predictions(RevRecAdtributor.run(fixture("fixture2"), attrs,
         RevRecAdtributor.Options(teep = 0.1))))
   }
+
+  // ---- fixture4: derived measures (a/b pair merged via J1)
+
+  private lazy val derived4: DataFrame = graft.operators.Snapshots.mergeDerived(
+    fixture("fixture4.a"), fixture("fixture4.b")).cache()
+
+  test("riskloc derived matches reference on fixture4") {
+    check("fixture4", "riskloc_derived",
+      RiskLoc.predictions(RiskLoc.run(derived4, attrs,
+        RiskLoc.Options(derived = true))))
+  }
+
+  test("adtributor derived matches reference on fixture4") {
+    check("fixture4", "adtributor_derived",
+      Adtributor.predictions(Adtributor.run(derived4, attrs,
+        Adtributor.Options(derived = true))))
+  }
+
+  test("rev-rec adtributor derived matches reference on fixture4") {
+    check("fixture4", "rev_rec_derived",
+      RevRecAdtributor.predictions(RevRecAdtributor.run(derived4, attrs,
+        RevRecAdtributor.Options(teep = 0.1, derived = true))))
+  }
+
+  test("squeeze derived matches reference on fixture4") {
+    check("fixture4", "squeeze_derived",
+      graft.algorithms.Squeeze.run(derived4, attrs,
+        graft.algorithms.Squeeze.Options(derived = true)))
+  }
 }

@@ -117,10 +117,51 @@ def main():
     rs = robustspot(f3.copy(), attrs, k=3, derived=True)
     g3 = {"robustspot_default": sorted(root_cause_postprocessing(rs, "robustspot").tolist())}
 
+    # fixture4: derived measure for riskloc/adtributor/r_adtributor/squeeze —
+    # a/b tables merged like run_utils.read_dataframe; anomaly: ratio drops
+    # inside a=a2 (real_a scaled down)
+    rng4 = np.random.default_rng(55)
+    idx4 = pd.MultiIndex.from_product(
+        [[f"{d}{i}" for i in range(card)] for d, card in dims],
+        names=[d for d, _ in dims])
+    fb = pd.DataFrame(index=idx4).reset_index()
+    n4 = len(fb)
+    fb["real"] = rng4.integers(100, 1000, n4).astype(float)
+    fb["predict"] = np.round(fb["real"] * (1 + rng4.normal(0, 0.01, n4)), 6)
+    fa = fb.copy()
+    rate4 = np.where(fa["a"] == "a2", 0.4, 0.9)
+    fa["real"] = np.round(fb["real"] * rate4, 6)
+    fa["predict"] = np.round(fb["predict"] * 0.9, 6)
+    fa.to_csv(f"{OUT}/fixture4.a.csv", index=False)
+    fb.to_csv(f"{OUT}/fixture4.b.csv", index=False)
+    merged = pd.merge(fa, fb, on=attrs, suffixes=("_a", "_b"))
+    merged["real"] = merged["real_a"] / merged["real_b"]
+    merged["predict"] = merged["predict_a"] / merged["predict_b"]
+    merged = merged.fillna(0.0)
+
+    def run_squeeze_derived(df_a, df_b):
+        divide = lambda x, y: np.divide(x, y, out=np.zeros_like(x), where=y != 0)
+        model = Squeeze(data_list=[df_a, df_b], op=divide, option=SqueezeOption())
+        model.run()
+        return sorted("&".join(sorted(rc.split("&")))
+                      for rc in model.root_cause_string_list)
+
+    g4 = {
+        "riskloc_derived": sorted(root_cause_postprocessing(
+            riskloc(merged.copy(), attrs, derived=True), "riskloc").tolist()),
+        "adtributor_derived": sorted(root_cause_postprocessing(
+            adtributor(merged.copy(), attrs, derived=True), "adtributor").tolist()),
+        "rev_rec_derived": sorted(root_cause_postprocessing(
+            rev_rec_adtributor(merged.copy(), attrs, derived=True),
+            "rev_rec_adtributor").tolist()),
+        "squeeze_derived": run_squeeze_derived(
+            fa[attrs + ["real", "predict"]].copy(), fb[attrs + ["real", "predict"]].copy()),
+    }
+
     with open(f"{OUT}/golden.json", "w") as f:
-        json.dump({"fixture1": g1, "fixture2": g2, "fixture3": g3}, f, indent=2)
+        json.dump({"fixture1": g1, "fixture2": g2, "fixture3": g3, "fixture4": g4}, f, indent=2)
     with open(f"{OUT}/golden.tsv", "w") as f:
-        for fix, g in [("fixture1", g1), ("fixture2", g2), ("fixture3", g3)]:
+        for fix, g in [("fixture1", g1), ("fixture2", g2), ("fixture3", g3), ("fixture4", g4)]:
             for name, preds in g.items():
                 f.write(f"{fix}\t{name}\t{';'.join(preds)}\n")
     print(json.dumps({"fixture1": g1, "fixture2": g2, "fixture3": g3}, indent=2))
