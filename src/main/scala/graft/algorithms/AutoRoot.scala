@@ -47,8 +47,8 @@ object AutoRoot {
     // KDE clustering of anomalous deviations. The collect is bounded by the
     // anomalous-leaf count; at extreme scale substitute a reservoir sample
     // (the KDE minima are distribution-level statistics).
-    val devs = df.filter(abs(col("deviation")) > 0.2)
-      .select("deviation").collect().map(_.getDouble(0))
+    val devs = graft.functions.VectorAgg.collectToDriver(
+      df.filter(abs(col("deviation")) > 0.2), col("deviation")).sorted
     if (devs.isEmpty) { df.unpersist(); return Seq.empty }
     val boundaries = clusterBoundaries(devs)
 

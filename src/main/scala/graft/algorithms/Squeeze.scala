@@ -121,11 +121,18 @@ object Squeeze {
     val nLeaves = df.count()
     if (nLeaves == 0) { df.unpersist(); return Seq.empty }
 
-    // driver-side distribution statistics (collected vectors)
-    val vf = df.select(col("deviation"), abs(col("real") - col("predict")).as("metric"))
-      .collect()
-    val devs = vf.map(_.getDouble(0))
-    val metrics = vf.map(_.getDouble(1))
+    // Driver-side distribution statistics via the collect_vector
+    // TypedImperativeAggregate (primitive partial buffers, no Row
+    // shipping). The two vectors come from ONE aggregation so they stay
+    // row-aligned; pairs are then sorted for a deterministic order
+    // (shuffle-merge order is not).
+    val vecRow = df.agg(
+      graft.functions.VectorAgg.collectVector(col("deviation")).as("devs"),
+      graft.functions.VectorAgg.collectVector(abs(col("real") - col("predict"))).as("metrics"))
+      .collect()(0)
+    val pairs = vecRow.getSeq[Double](0).zip(vecRow.getSeq[Double](1)).sorted.toArray
+    val devs = pairs.map(_._1)
+    val metrics = pairs.map(_._2)
 
     val filteredDevs =
       if (opt.enableFilter) {
@@ -144,7 +151,9 @@ object Squeeze {
     // smallest |dev| (squeeze.py:100-107 — RHS is intentionally unsigned-
     // compared against the signed value, replicated exactly)
     val abnormalDevs = devs.filter(d => intervals.exists { case (lo, hi) => d >= lo && d <= hi })
-    val normalThreshold = abnormalDevs.minBy(math.abs)
+    // |d|-ties resolve to the smaller signed value: deterministic under any
+    // collection order (the reference's row order is itself arbitrary here)
+    val normalThreshold = abnormalDevs.minBy(d => (math.abs(d), d))
     val isNormal: Column = abs(col("deviation")) < normalThreshold
 
     // auto score weight (squeeze.py:281-300, revised formula)
