@@ -105,6 +105,46 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Embedding near-duplicate pairs: id_a < id_b with cosine ≥ threshold.
+    * Exact within LSH candidate buckets — banding bounds the pair set the
+    * same way MinHash does for text (use `bands = 1, bits` small only when
+    * recall must be 1; defaults trade ~linear candidates for high recall). */
+  def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, bits: Int = 48, bands: Int = 12,
+      seed: Long = 42L): DataFrame = {
+    require(bits % bands == 0)
+    val rowsPerBand = bits / bands
+    val bandMask = (1L << rowsPerBand) - 1
+    val banded = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        rpSignature(col(vecCol), dim, bits, seed).as("sig"))
+      .select(col("id"), col("v"), posexplode(
+        array((0 until bands).map(b =>
+          shiftrightunsigned(col("sig"), b * rowsPerBand).bitwiseAND(lit(bandMask))): _*))
+        .as(Seq("band", "bucket")))
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.v").as("va"), col("r.v").as("vb"))
+      .distinct()
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Exact all-pairs variant (quadratic — the oracle-checkable anchor for
+    * [[embeddingNearDuplicates]] at test scale). */
+  def exactNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val p = df.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("n"))
+    p.as("l").join(p.as("r"), col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        when(col("l.n") * col("r.n") === 0.0, 0.0)
+          .otherwise(dot(col("l.v"), col("r.v")) / (col("l.n") * col("r.n"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Lloyd k-means on the driver over a sampled subset — centroids are
     * nlist × dim doubles (tiny). The heavy assignment pass stays
     * distributed. */

@@ -190,6 +190,25 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    GateQuery("q63_embedding_neardup",
+      """WITH e AS (SELECT vec_id, embedding,
+        |  sqrt((SELECT SUM(x::DOUBLE * x::DOUBLE)
+        |        FROM (SELECT unnest(embedding) AS x))) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round((SELECT SUM(x::DOUBLE * y::DOUBLE)
+        |         FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y))
+        |        / (a.nrm * b.nrm), 6) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE (SELECT SUM(x::DOUBLE * y::DOUBLE)
+        |       FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y))
+        |      / (a.nrm * b.nrm) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Similarity.exactNearDuplicates(embeddings(s, dir), "vec_id", "embedding", 0.45)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("id_a", "id_b")
+    },
+
     GateQuery.rowsOnly("q62_ngram_langid") { (s, dir) =>
       val docs = documents(s, dir)
       // profiles are distribution-level statistics: train on a bounded

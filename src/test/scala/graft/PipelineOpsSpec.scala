@@ -123,6 +123,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"recall $recall")
   }
 
+  test("embedding near-dup LSH finds injected duplicates with full recall") {
+    // plant near-duplicates: vectors 1000+i are tiny perturbations of i
+    val base = embs.filter(col("vec_id") < 20).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val planted = base.map { case (id, v) =>
+      (id + 1000L, v.zipWithIndex.map { case (x, i) => x + (if (i == 0) 0.01f else 0f) }.toSeq)
+    }
+    val all = base.map { case (id, v) => (id, v.toSeq) } ++ planted
+    val df = all.toSeq.toDF("vec_id", "embedding")
+
+    val exact = graft.operators.Similarity
+      .exactNearDuplicates(df, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 20, "every planted pair is a true near-dup")
+
+    val approx = graft.operators.Similarity
+      .embeddingNearDuplicates(df, "vec_id", "embedding", 0.99, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // sign-LSH at cos ~1 has per-band agreement ~1: full recall expected
+    assert(exact.subsetOf(approx), s"missed: ${exact -- approx}")
+  }
+
   test("ngram langid recovers the language on a separable corpus") {
     val corpus = Seq(
       ("aa", "der die das und ein eine mit von zu auf"),

@@ -45,4 +45,39 @@ class StreamingForecastSpec extends AnyFunSuite {
       assert(math.abs(a.get.getDouble(4) - 0.5) < 1e-12) // mean k
     } finally query.stop()
   }
+
+  test("streaming localization finds the anomalous element per minute") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, Double, Double)]
+    val base = 1699999980L
+    // 4 history minutes + anomaly minute: dev2 failure spike at minute 4
+    val rows = for {
+      m <- 0 to 4
+      d1 <- 0 until 4; d2 <- 0 until 3
+    } yield {
+      val cnt = 100.0
+      val bad = d1 == 2 && m == 4
+      val failures = if (bad) 60.0 else 3.0
+      (base + m * 60L, s"dev$d1", s"isp$d2", cnt - failures, cnt)
+    }
+    input.addData(rows: _*)
+
+    val stream = input.toDF().toDF("epoch", "dev", "isp", "value", "cnt")
+      .withColumn("ts", col("epoch").cast("timestamp"))
+    val snapshots = StreamingForecast.anomalySnapshots(stream, Seq("dev", "isp"))
+
+    val found = collection.concurrent.TrieMap.empty[Long, Seq[String]]
+    val query = StreamingForecast.localizeEachMinute(snapshots, (minute, snap) => {
+      val preds = graft.algorithms.Adtributor.predictions(
+        graft.algorithms.Adtributor.run(snap.cache(), Seq("dev", "isp")))
+      found(minute) = preds
+    }).start()
+    try {
+      input.addData((base + 10 * 60L, "dev0", "isp0", 97.0, 100.0)) // advance watermark
+      query.processAllAvailable()
+      val anomalyMinute = base + 4 * 60
+      assert(found.contains(anomalyMinute), found.keySet.toString)
+      assert(found(anomalyMinute).exists(_.contains("dev=dev2")), found.toString)
+    } finally query.stop()
+  }
 }
