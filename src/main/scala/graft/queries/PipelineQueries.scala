@@ -191,10 +191,12 @@ object PipelineQueries {
     },
 
     GateQuery("q63_embedding_neardup",
+      // bounded id range keeps the exact quadratic anchor linear-ish in SF;
+      // the LSH variant (tested for recall) is the unbounded scale path
       """WITH e AS (SELECT vec_id, embedding,
         |  sqrt((SELECT SUM(x::DOUBLE * x::DOUBLE)
         |        FROM (SELECT unnest(embedding) AS x))) AS nrm
-        |  FROM embeddings)
+        |  FROM embeddings WHERE vec_id < 1000)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round((SELECT SUM(x::DOUBLE * y::DOUBLE)
         |         FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y))
@@ -204,7 +206,8 @@ object PipelineQueries {
         |       FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y))
         |      / (a.nrm * b.nrm) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-      Similarity.exactNearDuplicates(embeddings(s, dir), "vec_id", "embedding", 0.45)
+      Similarity.exactNearDuplicates(
+        embeddings(s, dir).filter(col("vec_id") < 1000), "vec_id", "embedding", 0.45)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id_a", "id_b")
     },
