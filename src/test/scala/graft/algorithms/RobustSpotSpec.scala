@@ -27,6 +27,17 @@ class RobustSpotSpec extends AnyFunSuite {
         (fix, algo) -> preds.split(";").toSeq.sorted
       }.toMap
 
+  test("robustspot fundamental matches reference on fixture1") {
+    val schema1 = StructType(Seq(
+      StructField("a", StringType), StructField("b", StringType), StructField("c", StringType),
+      StructField("real", DoubleType), StructField("predict", DoubleType)))
+    val fixture1 = spark.read.schema(schema1).option("header", "true")
+      .csv(getClass.getResource("/fixtures").getPath + "/fixture1.csv")
+    val preds = RobustSpot.predictions(
+      RobustSpot.run(fixture1, Seq("a", "b", "c"), RobustSpot.Options(k = 3, derived = false)))
+    assert(preds.sorted == golden(("fixture1", "robustspot_fundamental")))
+  }
+
   test("robustspot derived matches reference on fixture3") {
     val preds = RobustSpot.predictions(
       RobustSpot.run(fixture3, Seq("a", "b", "c"), RobustSpot.Options(k = 3, derived = true)))

@@ -56,6 +56,12 @@ def make_snapshot(seed, dims, anomalies, noise=0.01, alpha=0.5):
 def golden(df, runs):
     out = {}
     for name, algo, kwargs in runs:
+        if algo is None:  # robustspot fundamental path
+            rcs = robustspot(df.copy(), sorted(c for c in df.columns
+                                               if c not in ("real", "predict")),
+                             k=3, derived=False)
+            out[name] = sorted(root_cause_postprocessing(rcs, "robustspot").tolist())
+            continue
         if algo is run_squeeze:
             out[name] = sorted(
                 "&".join(sorted(rc.split("&"))) for rc in run_squeeze(df.copy(), **kwargs))
@@ -78,6 +84,7 @@ def main():
     f1.to_csv(f"{OUT}/fixture1.csv", index=False)
     g1 = golden(f1, [
         ("riskloc_default", riskloc, dict(attributes=attrs)),
+        ("robustspot_fundamental", None, None),
         ("riskloc_rt03", riskloc, dict(attributes=attrs, risk_threshold=0.3)),
         ("adtributor_default", adtributor, dict(dimensions=attrs)),
         ("rev_rec_default", rev_rec_adtributor, dict(dimensions=attrs)),
