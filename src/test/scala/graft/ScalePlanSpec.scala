@@ -67,6 +67,30 @@ class ScalePlanSpec extends AnyFunSuite {
       assert(codegenSubtrees(SparkEntry.queries(q)(spark, dir)) >= 1, s"$q: no codegen stage")
   }
 
+  test("bucketed tables join without a shuffle") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = graft.core.Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+      val ord = graft.core.Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+      graft.core.Bucketing.writeBucketed(li, "li_b", 4, Seq("l_orderkey"))
+      graft.core.Bucketing.writeBucketed(ord, "ord_b", 4, Seq("o_orderkey"))
+      val joined = graft.core.Bucketing.table(spark, "li_b")
+        .join(graft.core.Bucketing.table(spark, "ord_b"),
+          col("l_orderkey") === col("o_orderkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), s"bucketed join must not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+
   test("simhash expression does not break codegen") {
     import org.apache.spark.sql.functions._
     val df = graft.core.Tables.documents(spark, dir).select(
