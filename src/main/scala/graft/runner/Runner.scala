@@ -91,9 +91,25 @@ object Runner {
       .orderBy("dataset", "folder")
   }
 
+  /** Run every instance concurrently (the reference's process pool becomes
+    * concurrent job submission against one session). */
+  def runAll(spark: SparkSession, dataRoot: String, refs: Seq[InstanceSource.InstanceRef],
+      algorithm: String, derivedFlag: Option[Boolean], nThreads: Int): Seq[InstanceResult] = {
+    val pool = Executors.newFixedThreadPool(nThreads)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = refs.map(ref => Future(runInstance(spark, dataRoot, ref, algorithm, derivedFlag)))
+      Await.result(Future.sequence(futures), Duration.Inf)
+    } finally pool.shutdown()
+  }
+
+  /** The reference's CLI name for the recursive variant is accepted too. */
+  private def canonicalAlgorithm(name: String): String =
+    if (name == "r_adtributor") "rev_rec_adtributor" else name
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: Runner <algorithm> --run-path <dir> [...]")
-    val algorithm = args(0)
+    val algorithm = canonicalAlgorithm(args(0))
     val opts = args.drop(1).sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap
@@ -110,11 +126,7 @@ object Runner {
     val refs = InstanceSource.instances(dataRoot, runPath)
     require(refs.nonEmpty, s"no instances under $dataRoot/$runPath")
 
-    val pool = Executors.newFixedThreadPool(nThreads)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val futures = refs.map(ref => Future(runInstance(spark, dataRoot, ref, algorithm, derivedFlag)))
-    val results = Await.result(Future.sequence(futures), Duration.Inf)
-    pool.shutdown()
+    val results = runAll(spark, dataRoot, refs, algorithm, derivedFlag, nThreads)
 
     import spark.implicits._
     val all = results.toDF().orderBy("dataset", "folder", "file")

@@ -62,6 +62,17 @@ class RunnerSpec extends AnyFunSuite {
     assert(results.forall(_.tp == 1), results.toString)
   }
 
+  test("concurrent runAll matches sequential results") {
+    val refs = InstanceSource.instances(corpusRoot, "")
+    val sequential = refs.map(r =>
+      Runner.runInstance(spark, corpusRoot, r, "riskloc", derivedFlag = Some(false)))
+      .map(r => (r.file, r.f1, r.tp)).toSet
+    val concurrent = Runner.runAll(spark, corpusRoot, refs, "riskloc",
+        derivedFlag = Some(false), nThreads = 2)
+      .map(r => (r.file, r.f1, r.tp)).toSet
+    assert(concurrent == sequential)
+  }
+
   test("rs labels parse the reference's flow-style yaml") {
     val yaml =
       """- data: case1_0821_1741394221
