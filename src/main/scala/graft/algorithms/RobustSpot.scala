@@ -27,8 +27,13 @@ import org.apache.spark.storage.StorageLevel
   *
   * Replicated reference quirks (scaladoc'd at each site): the `int()`
   * truncation of expansion times, mode ties resolved to the smallest
-  * value, the p2p-discard merge step, and ID=NaN rows (0/0) dropping out
-  * of the expansion.
+  * value, the p2p-discard merge step, ID=NaN rows (0/0) dropping out of
+  * the expansion, and pandas' NaN-skipping global sums. Deliberately NOT
+  * replicated: the reference sorts its influence-degree list with NaNs
+  * still inside (select_expand.py:42-44), which under Python Timsort
+  * leaves the list partially unsorted and feeds the knee detector
+  * scrambled x values — we drop NaN before sorting (on NaN-free input
+  * both engines agree exactly; see RsRealDataSpec).
   */
 object RobustSpot {
 
@@ -70,11 +75,17 @@ object RobustSpot {
   private final case class Sums(kF: Double, kV: Double, n: Long,
       mF: Double, mV: Double, dF: Double, dV: Double)
 
+  /** pandas `.sum()` skips NaN (skipna=True); Spark's `sum` propagates it.
+    * The k columns carry NaN for 0/0 leaves (no-history forecasts), so the
+    * global sums must null NaN out first to match the reference. */
+  private def nanSkippingSum(c: String) =
+    sum(when(isnan(col(c)), lit(null)).otherwise(col(c)))
+
   private def globalSums(df: DataFrame): Sums = {
     val r = df.agg(
-      sum("k_predict"), sum("k_real"), count(lit(1)),
-      sum("value_predict"), sum("value_real"),
-      sum("cnt_predict"), sum("cnt_real")).collect()(0)
+      nanSkippingSum("k_predict"), nanSkippingSum("k_real"), count(lit(1)),
+      nanSkippingSum("value_predict"), nanSkippingSum("value_real"),
+      nanSkippingSum("cnt_predict"), nanSkippingSum("cnt_real")).collect()(0)
     def d(i: Int) = if (r.isNullAt(i)) 0.0 else r.getDouble(i)
     Sums(d(0), d(1), r.getLong(2), d(3), d(4), d(5), d(6))
   }

