@@ -78,7 +78,8 @@ object RiskLoc {
         lit(1.0)))
 
     // Negate EP when the anomalous partition's EP mass is negative.
-    val epSumRow = df.filter(col("partition") === 1).agg(sum("ep")).collect()(0)
+    val epSumRow = df.filter(col("partition") === 1)
+      .agg(graft.functions.Scores.pandasSum(col("ep"))).collect()(0)
     val epSum = if (epSumRow.isNullAt(0)) 0.0 else epSumRow.getDouble(0)
     val (dfSigned, anomalyEpSum) =
       if (epSum < 0) (df.withColumn("ep", -col("ep")), -epSum) else (df, epSum)
@@ -198,7 +199,8 @@ object RiskLoc {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val epsA = exploded1
       .groupBy(col("cb.cid").as("cid"), col("cb.key").as("key"))
-      .agg(sum("ep").as("ep"), sum("ep_z").as("ep_z"), sum("partition").as("part_sum"))
+      .agg(graft.functions.Scores.pandasSum(col("ep")).as("ep"),
+        sum("ep_z").as("ep_z"), sum("partition").as("part_sum"))
       .collect()
 
     if (usePrune) {
@@ -243,7 +245,7 @@ object RiskLoc {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val candsDeep = exploded2
       .groupBy(col("cb.cid").as("cid"), col("cb.key").as("key"))
-      .agg(sum("ep").as("ep"), sum("partition").as("part_sum"))
+      .agg(graft.functions.Scores.pandasSum(col("ep")).as("ep"), sum("partition").as("part_sum"))
       .filter(col("part_sum") > 0 && col("ep") > adjEpThreshold)
       .select("cid", "key", "ep")
       .withColumn("rn", row_number().over(
@@ -279,7 +281,8 @@ object RiskLoc {
 
     var continue = true
     while (continue) {
-      val epSumRow = df.filter(col("partition") === 1).agg(sum("ep")).collect()(0)
+      val epSumRow = df.filter(col("partition") === 1)
+        .agg(graft.functions.Scores.pandasSum(col("ep"))).collect()(0)
       val anomalyEpSum = if (epSumRow.isNullAt(0)) 0.0 else epSumRow.getDouble(0)
       if (anomalyEpSum < adjEpThreshold) continue = false
       else {

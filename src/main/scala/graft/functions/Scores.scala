@@ -33,9 +33,14 @@ object Scores {
         .otherwise(Double.NegativeInfinity))
       .otherwise(num / den)
 
-  /** Explanatory power, fundamental measure: (real - predict) / (A - F). */
+  /** pandas `.sum()` semantics: NaN skipped (±Inf kept). Spark's `sum`
+    * propagates NaN — numpy-parity aggregations sum through this. */
+  def pandasSum(c: Column): Column = sum(when(isnan(c), lit(null)).otherwise(c))
+
+  /** Explanatory power, fundamental measure: (real - predict) / (A - F)
+    * with IEEE-754 zero-divisor semantics (numpy). */
   def explanatoryPower(real: Column, predict: Column, totalReal: Column, totalPredict: Column): Column =
-    (real - predict) / (totalReal - totalPredict)
+    numpyDiv(real - predict, totalReal - totalPredict)
 
   /** Explanatory power, derived measure (before sum-normalization):
     * ((ra-pa)·Fb - (rb-pb)·Fa) / (Fb·(Fb + rb - pb)). */
@@ -44,7 +49,7 @@ object Scores {
       totalPredictA: Column, totalPredictB: Column): Column = {
     val n = (realA - predictA) * totalPredictB - (realB - predictB) * totalPredictA
     val d = totalPredictB * (totalPredictB + realB - predictB)
-    n / d
+    numpyDiv(n, d)
   }
 
   /** One surprise term: x·ln(2x/(x+y)) with NaN/±Inf -> 0 (numpy

@@ -43,9 +43,9 @@ object Snapshots {
         col("__tpa"), col("__tpb"))
       val withRaw = df.crossJoin(broadcast(t1))
         .withColumn("ep", raw).drop("__tpa", "__tpb")
-      val t2 = withRaw.agg(sum("ep").as("__tep"))
+      val t2 = withRaw.agg(Scores.pandasSum(col("ep")).as("__tep"))
       withRaw.crossJoin(broadcast(t2))
-        .withColumn("ep", col("ep") / col("__tep")).drop("__tep")
+        .withColumn("ep", Scores.numpyDiv(col("ep"), col("__tep"))).drop("__tep")
     } else {
       val t = df.agg(sum("real").as("__tr"), sum("predict").as("__tp"))
       df.crossJoin(broadcast(t))

@@ -31,6 +31,46 @@ class RsRealDataSpec extends AnyFunSuite {
       "cdn=7&gameid=3203&p2p=0", "cdn=7&p2p=0", "cdn=7&p2p=0&platform=pc_exe_template"))
   }
 
+  test("riskloc finds reference-valid causes on real RS data: case55") {
+    // The reference finds 4 causes over its remove-and-repeat loop, ALL
+    // with risk exactly == the 0.5 acceptance threshold and candidate EPs
+    // near the adjusted EP cutoff. Our first iteration matches the
+    // reference to within 1 ulp (ep 0.10215624478629032 vs ...26 --
+    // distributed-aggregation association order), and at these exact-
+    // boundary comparisons that last bit legitimately flips later
+    // accept/prune decisions, so the loop finds a subset. Assertions:
+    // first cause identical, every found cause in the reference's set
+    // (generated via riskloc(df, attrs, derived=True), PYTHONHASHSEED-
+    // stable). FP-boundary tolerance per SURVEY §7.3.
+    assume(new java.io.File(s"$rsDir/case55_0215_1861606916.csv").exists(),
+      "reference corpus not mounted")
+    val anomaly = RsLabels.labelFor(rsDir, "case55_0215_1861606916")
+    val raw = RsSource.readRaw(spark, s"$rsDir/case55_0215_1861606916.csv")
+    val snap = RsSource.snapshot(raw, anomaly.timestamp)
+    // attribute order = CSV column order, as the reference's RS reader uses
+    val rcs = RiskLoc.run(snap, RsSource.attributesOf(raw), RiskLoc.Options(derived = true))
+    val preds = RiskLoc.predictions(rcs)
+    val referenceSet = Set(
+      "bitrate=2500&cdn=7&device=C1&isp=电信&p2p=0",
+      "bitrate=2500&cdn=7&device=C1&isp=移动&p2p=0",
+      "bitrate=2500&cdn=7&device=C1&p2p=0",
+      "bitrate=500&cdn=7&device=C2&isp=电信")
+    assert(preds.nonEmpty && preds.toSet.subsetOf(referenceSet), preds.toString)
+    // discovery order: the first found cause matches the reference's
+    assert(rcs.head.labels == Seq("bitrate=500&cdn=7&device=C2&isp=电信"))
+  }
+
+  test("adtributor matches the reference exactly on real RS data: case55") {
+    assume(new java.io.File(s"$rsDir/case55_0215_1861606916.csv").exists(),
+      "reference corpus not mounted")
+    val anomaly = RsLabels.labelFor(rsDir, "case55_0215_1861606916")
+    val raw = RsSource.readRaw(spark, s"$rsDir/case55_0215_1861606916.csv")
+    val snap = RsSource.snapshot(raw, anomaly.timestamp)
+    val preds = Adtributor.predictions(Adtributor.run(snap, RsSource.attributesOf(raw),
+      Adtributor.Options(derived = true)))
+    assert(preds.sorted == Seq("cdn=7", "device=C2", "p2p=0"))
+  }
+
   test("robustspot on case1: agrees with the reference up to its NaN-sort scrambling") {
     // The reference sorts the influence-degree list WITH NaNs still inside
     // (select_expand.py:42-44); Python's Timsort with NaN comparisons
