@@ -92,20 +92,33 @@ object AutoRoot {
       val cands = counts.filter(candCond).persist(StorageLevel.MEMORY_AND_DISK)
 
       if (cands.limit(1).count() > 0) {
-        // NPS statistics for every candidate element, two batched passes
+        // NPS statistics for every candidate element, two batched passes.
+        // Selection semantics replicate the reference's layer>=2 quirk
+        // (autoroot.py:125-129): the element tuple is passed UNWRAPPED to
+        // get_elements_mask, so a row is selected iff EVERY cuboid
+        // column's value is in the element's VALUE SET (e.g. candidate
+        // (bitrate=2500, p2p=0) also selects bitrate=0 rows when '0' is a
+        // bitrate value) — not an exact tuple match. For layer 1 the two
+        // coincide. The LF/CF counts above stay exact-tuple (groupbys in
+        // the reference too).
+        val candSel = broadcast(cands.select(col("cid").as("jcid"), col("key").as("jkey"),
+          array_distinct(col("key")).as("jset")))
+        val setMatch = col("cb.cid") === col("jcid") &&
+          forall(col("cb.key"), v => array_contains(col("jset"), v))
         val stats1 = exploded
-          .join(broadcast(cands.select(col("cid").as("jcid"), col("key").as("jkey"))),
-            col("cb.cid") === col("jcid") && col("cb.key") === col("jkey"))
+          .join(candSel, setMatch)
           .groupBy(col("jcid").as("cid"), col("jkey").as("key"))
           .agg(
             count(lit(1)).as("n_sel"),
             sum("real").as("sreal"), sum("predict").as("spred"),
             sum(termB).as("sum_b"))
         val ratios = stats1.select(col("cid").as("rcid"), col("key").as("rkey"),
+          array_distinct(col("key")).as("rset"),
           when(col("spred") =!= 0, col("sreal") / col("spred")).otherwise(0.0).as("ratio"))
         val stats2 = exploded
           .join(broadcast(ratios),
-            col("cb.cid") === col("rcid") && col("cb.key") === col("rkey"))
+            col("cb.cid") === col("rcid") &&
+              forall(col("cb.key"), v => array_contains(col("rset"), v)))
           .withColumn("a_row", col("predict") * col("ratio"))
           .withColumn("term_a",
             when(col("real") === 0, 0.0).otherwise(abs(col("real") - col("a_row")) / col("real")))
