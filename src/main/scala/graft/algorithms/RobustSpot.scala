@@ -42,7 +42,13 @@ object RobustSpot {
       derived: Boolean = true,
       caThreshold: Double = 0.0,
       confidenceThreshold: Double = 0.8,
-      lambdaAmplification: Int = 100)
+      lambdaAmplification: Int = 100,
+      /** Fraction of positive-ID values fed to the Kneedle threshold.
+        * The knee is a distribution statistic, so on 100 TB-scale
+        * snapshots a seeded sample (< 1.0) bounds the driver vector
+        * without changing the screening materially; 1.0 = bit-exact
+        * reference parity. */
+      idSampleFraction: Double = 1.0)
 
   type Item = (String, String)
   /** A root cause: items sorted by attribute name (mining.py:102-104). */
@@ -136,8 +142,15 @@ object RobustSpot {
     val scored = before.withColumn("ID", idCol(s)).withColumn("CA", caCol(s))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val ids = scored.select("ID").collect().map(_.getDouble(0))
-      .filter(x => !x.isNaN && x > 0).sorted
+    // Knee input: NaN/non-positive IDs are screened distributed-side and
+    // the survivors travel as ONE primitive array<double> per partition
+    // (collect_vector), never boxed Rows. Note Spark orders NaN greater
+    // than any number, so the isnan guard must precede the > 0 test.
+    val positives = scored.filter(!isnan(col("ID")) && col("ID") > 0)
+    val sampled =
+      if (opt.idSampleFraction < 1.0) positives.sample(opt.idSampleFraction, seed = 42L)
+      else positives
+    val ids = graft.functions.VectorAgg.collectToDriver(sampled, col("ID")).sorted
     val threshold = idThreshold(ids)
 
     val afterCond = col("ID") > threshold && col("CA") > opt.caThreshold

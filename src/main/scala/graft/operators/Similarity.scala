@@ -147,11 +147,15 @@ object Similarity {
 
   /** Lloyd k-means on the driver over a sampled subset — centroids are
     * nlist × dim doubles (tiny). The heavy assignment pass stays
-    * distributed. */
-  def trainCentroids(corpus: DataFrame, vecCol: String, nlist: Int,
+    * distributed. The sample is the sampleSize smallest ids
+    * (TakeOrderedAndProject: a distributed partial top-k, no full sort),
+    * so centroids — and everything downstream — are independent of
+    * partition scan order. */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String, nlist: Int,
       iters: Int = 5, sampleSize: Int = 2000, seed: Long = 42L): Array[Array[Double]] = {
-    val sample = corpus.select(vecCol).limit(sampleSize).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val sample = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(sampleSize).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     require(sample.nonEmpty, "empty corpus")
     val dim = sample.head.length
     val rng = new scala.util.Random(seed)

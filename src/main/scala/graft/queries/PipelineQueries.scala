@@ -183,7 +183,7 @@ object PipelineQueries {
 
     GateQuery.rowsOnly("q61_ivf_ann") { (s, dir) =>
       val e = embeddings(s, dir)
-      val centroids = Similarity.trainCentroids(e, "embedding", nlist = 8, iters = 3)
+      val centroids = Similarity.trainCentroids(e, "vec_id", "embedding", nlist = 8, iters = 3)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
         k = 3, centroids, nprobe = 3)
         .withColumn("cos", round(col("cos"), 6))

@@ -65,6 +65,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(sims(1L) ^ sims(4L)) > 12) // unrelated
   }
 
+  test("simhash near-dup pairs equal exact bit_count(xor) pairs (pigeonhole recall)") {
+    // the banding (maxHamming+1 chunks) guarantees full recall and the
+    // verification filter guarantees precision, so candidates == exact
+    for (h <- Seq(3, 16)) {
+      val p = docs.select(col("doc_id"),
+        graft.functions.SimHash.simhash64(Dedup.tokens(col("text"))).as("sh"))
+      val exact = p.as("l").join(p.as("r"), col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id"), col("r.doc_id"),
+          bit_count(col("l.sh").bitwiseXOR(col("r.sh"))).as("d"))
+        .filter(col("d") <= h)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val found = Dedup.simhashNearDuplicates(docs, "doc_id", "text", maxHamming = h)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(found == exact, s"maxHamming=$h missed=${exact -- found} extra=${found -- exact}")
+    }
+  }
+
   test("simhash expression survives codegen and matches interpreted eval") {
     val viaExpr = dupCorpus
       .select(graft.functions.SimHash.simhash64(Dedup.tokens(col("text"))).as("sh"))
@@ -115,12 +132,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     val queries = embs.filter(col("vec_id") < 50)
     val exact = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val centroids = Similarity.trainCentroids(embs, "embedding", nlist = 8, iters = 3)
+    val centroids = Similarity.trainCentroids(embs, "vec_id", "embedding", nlist = 8, iters = 3)
     val approx = Similarity.ivfTopK(embs, queries, "vec_id", "embedding",
       k = 3, centroids, nprobe = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.7, s"recall $recall")
+  }
+
+  test("IVF centroids are independent of partition layout") {
+    val a = Similarity.trainCentroids(embs, "vec_id", "embedding", nlist = 8, iters = 3)
+    val b = Similarity.trainCentroids(embs.repartition(7), "vec_id", "embedding",
+      nlist = 8, iters = 3)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
 
   test("embedding near-dup LSH finds injected duplicates with full recall") {
