@@ -1,7 +1,7 @@
 package graft.algorithms
 
 import graft.functions.Scores.numpyDiv
-import graft.kernels.Kernels
+import graft.kernels.{Kernels, NumpyArgsort, PyHash}
 import graft.model.Labels
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
@@ -28,12 +28,14 @@ import org.apache.spark.storage.StorageLevel
   * Replicated reference quirks (scaladoc'd at each site): the `int()`
   * truncation of expansion times, mode ties resolved to the smallest
   * value, the p2p-discard merge step, ID=NaN rows (0/0) dropping out of
-  * the expansion, and pandas' NaN-skipping global sums. Deliberately NOT
-  * replicated: the reference sorts its influence-degree list with NaNs
-  * still inside (select_expand.py:42-44), which under Python Timsort
-  * leaves the list partially unsorted and feeds the knee detector
-  * scrambled x values — we drop NaN before sorting (on NaN-free input
-  * both engines agree exactly; see RsRealDataSpec).
+  * the expansion, pandas' NaN-skipping global sums, and — in parity mode
+  * (input carries a `__row` CSV-order column) — the reference's
+  * sort-with-NaNs quirk: it sorts the influence-degree list with NaNs
+  * still inside (select_expand.py:42-44), which under CPython Timsort
+  * leaves the list deterministically partially-unsorted and feeds the
+  * knee detector scrambled x values. PyListSort replays that scramble
+  * bit-for-bit; without `__row` the scale path uses a clean sorted
+  * positive-ID vector instead.
   */
 object RobustSpot {
 
@@ -48,7 +50,10 @@ object RobustSpot {
         * snapshots a seeded sample (< 1.0) bounds the driver vector
         * without changing the screening materially; 1.0 = bit-exact
         * reference parity. */
-      idSampleFraction: Double = 1.0)
+      idSampleFraction: Double = 1.0,
+      /** Per-round debug tracing (the reference's --debug analogue):
+        * receives screening/mode/top-5/final lines. */
+      trace: String => Unit = _ => ())
 
   type Item = (String, String)
   /** A root cause: items sorted by attribute name (mining.py:102-104). */
@@ -87,14 +92,28 @@ object RobustSpot {
   private def nanSkippingSum(c: String) =
     sum(when(isnan(col(c)), lit(null)).otherwise(col(c)))
 
-  private def globalSums(df: DataFrame): Sums = {
-    val r = df.agg(
-      nanSkippingSum("k_predict"), nanSkippingSum("k_real"), count(lit(1)),
-      nanSkippingSum("value_predict"), nanSkippingSum("value_real"),
-      nanSkippingSum("cnt_predict"), nanSkippingSum("cnt_real")).collect()(0)
-    def d(i: Int) = if (r.isNullAt(i)) 0.0 else r.getDouble(i)
-    Sums(d(0), d(1), r.getLong(2), d(3), d(4), d(5), d(6))
-  }
+  private def globalSums(df: DataFrame): Sums =
+    if (df.columns.contains("__row")) {
+      // Parity mode: pandas sums round with numpy's pairwise algorithm
+      // over the rows in CSV order — a ULP off a Spark sequential fold,
+      // which the CA > 0 / ID > knee screens can amplify into different
+      // survivors. Collect the six measure columns ordered by __row and
+      // reduce with the exact NumpySum port.
+      val cols = Seq("k_predict", "k_real", "value_predict", "value_real",
+        "cnt_predict", "cnt_real")
+      val rows = df.select((col("__row").cast("long") +: cols.map(col)): _*)
+        .collect().sortBy(_.getLong(0))
+      def vec(i: Int) = rows.map(r => if (r.isNullAt(i)) Double.NaN else r.getDouble(i))
+      def s(i: Int) = graft.kernels.NumpySum.nanSum(vec(i))
+      Sums(s(1), s(2), rows.length.toLong, s(3), s(4), s(5), s(6))
+    } else {
+      val r = df.agg(
+        nanSkippingSum("k_predict"), nanSkippingSum("k_real"), count(lit(1)),
+        nanSkippingSum("value_predict"), nanSkippingSum("value_real"),
+        nanSkippingSum("cnt_predict"), nanSkippingSum("cnt_real")).collect()(0)
+      def d(i: Int) = if (r.isNullAt(i)) 0.0 else r.getDouble(i)
+      Sums(d(0), d(1), r.getLong(2), d(3), d(4), d(5), d(6))
+    }
 
   /** Influence degree (ID_CA.py:12-26): leave-one-out averages; NaN/Inf
     * propagate exactly as numpy (0/0 rows get ID=NaN and are screened out
@@ -110,19 +129,24 @@ object RobustSpot {
     * "fix", SURVEY.md §7.3). */
   private def caCol(s: Sums): Column = {
     val rate1 = lit(s.dF / s.mF) // scalar: JVM IEEE-754 division = numpy
-    val rate2 = numpyDiv(col("value_real") + lit(s.mF) - col("value_predict"),
-      col("cnt_real") + lit(s.dF) - col("cnt_predict"))
+    // parenthesization matters: the reference computes v + (sum - f)
+    // (ID_CA.py:57), not (v + sum) - f — a ULP apart, and CA > 0 is a
+    // strict screen
+    val rate2 = numpyDiv(col("value_real") + (lit(s.mF) - col("value_predict")),
+      col("cnt_real") + (lit(s.dF) - col("cnt_predict")))
     val ca = rate1 * rate2 - lit(1.0)
     when(isnan(ca), 0.0).otherwise(ca)
   }
 
   /** Kneedle threshold over the positive-ID CDF (select_expand.py:39-62):
-    * S=6, degree-7 polynomial fit, default 0.5. */
-  private[algorithms] def idThreshold(sortedPositiveIds: Array[Double]): Double = {
-    if (sortedPositiveIds.isEmpty) return 0.5
-    val n = sortedPositiveIds.length
+    * S=6, degree-7 polynomial fit, default 0.5. The x vector is taken in
+    * the order given — in parity mode that is the reference's partially
+    * scrambled post-Timsort order, not ascending. */
+  private[algorithms] def idThreshold(positiveIds: Array[Double]): Double = {
+    if (positiveIds.isEmpty) return 0.5
+    val n = positiveIds.length
     val cdf = Array.tabulate(n)(i => (i + 1).toDouble / n)
-    Kernels.kneedle(sortedPositiveIds, cdf, s = 6.0, polynomialDegree = 7).getOrElse(0.5)
+    Kernels.kneedle(positiveIds, cdf, s = 6.0, polynomialDegree = 7).getOrElse(0.5)
   }
 
   // --------------------------------------------------------- select/expand
@@ -142,18 +166,49 @@ object RobustSpot {
     val scored = before.withColumn("ID", idCol(s)).withColumn("CA", caCol(s))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Knee input: NaN/non-positive IDs are screened distributed-side and
-    // the survivors travel as ONE primitive array<double> per partition
-    // (collect_vector), never boxed Rows. Note Spark orders NaN greater
-    // than any number, so the isnan guard must precede the > 0 test.
-    val positives = scored.filter(!isnan(col("ID")) && col("ID") > 0)
-    val sampled =
-      if (opt.idSampleFraction < 1.0) positives.sample(opt.idSampleFraction, seed = 42L)
-      else positives
-    val ids = graft.functions.VectorAgg.collectToDriver(sampled, col("ID")).sorted
+    // Knee input. Two modes:
+    //  - parity (a `__row` column is present, i.e. an RS parity run): the
+    //    reference sorts the FULL ID list — NaNs included — with Python
+    //    list.sort() in pandas row order, then filters > 0
+    //    (select_expand.py:42-44). `<` is not total over NaN, so the
+    //    result is a deterministic partial scramble the knee depends on.
+    //    Replay it: collect (row, ID), order by row, CPython-exact
+    //    PyListSort, filter. Driver-side, but inherently so — bounded by
+    //    the snapshot leaf count.
+    //  - scale (no `__row`): NaN/non-positive IDs are screened
+    //    distributed-side and the survivors travel as ONE primitive
+    //    array<double> per partition (collect_vector), never boxed Rows;
+    //    opt.idSampleFraction bounds the driver vector. Note Spark orders
+    //    NaN greater than any number, so the isnan guard precedes > 0.
+    val ids: Array[Double] =
+      if (before.columns.contains("__row")) {
+        val pairs = scored.select(col("__row").cast("long"), col("ID")).collect()
+          .map(r => (r.getLong(0), if (r.isNullAt(1)) Double.NaN else r.getDouble(1)))
+          .sortBy(_._1).map(_._2)
+        graft.kernels.PyListSort.sort(pairs).filter(_ > 0)
+      } else {
+        val positives = scored.filter(!isnan(col("ID")) && col("ID") > 0)
+        val sampled =
+          if (opt.idSampleFraction < 1.0) positives.sample(opt.idSampleFraction, seed = 42L)
+          else positives
+        graft.functions.VectorAgg.collectToDriver(sampled, col("ID")).sorted
+      }
     val threshold = idThreshold(ids)
+    opt.trace(s"  KNEE: n=${ids.length} knee=$threshold\n    x=${ids.mkString("[", ", ", "]")}")
+    if (sys.props.contains("graft.rs.dumpIdCa") || sys.env.contains("GRAFT_RS_DUMP_IDCA")) {
+      val rowCol = if (before.columns.contains("__row")) col("__row").cast("long")
+                   else lit(-1L).as("__row")
+      val show = scored.select((rowCol +: attrs.map(col)) :+ col("ID") :+ col("CA"): _*).collect()
+      opt.trace(show.map { r =>
+        val as = attrs.indices.map(i => s"${attrs(i)}=${r.getString(i + 1)}").mkString("&")
+        def hx(i: Int) = java.lang.Double.toHexString(if (r.isNullAt(i)) Double.NaN else r.getDouble(i))
+        s"  IDCA row=${r.getLong(0)} $as ID=${hx(attrs.length + 1)} CA=${hx(attrs.length + 2)}"
+      }.mkString("\n"))
+    }
 
-    val afterCond = col("ID") > threshold && col("CA") > opt.caThreshold
+    // pandas: NaN > x is false; Spark orders NaN above every number, so
+    // ID=NaN (0/0) rows must be screened out explicitly
+    val afterCond = !isnan(col("ID")) && col("ID") > threshold && col("CA") > opt.caThreshold
     // int() truncation toward zero (select_expand.py:76-79); non-positive
     // times = zero replicas = the row never reaches the expansion
     val times =
@@ -189,9 +244,9 @@ object RobustSpot {
     * All three support tables (weighted expand, before, after) come from
     * ONE bitmask-histogram pass over the round's scored frame — every
     * itemset/rule support is then a driver-side sum. */
-  private def mine(state: RoundState, attrs: Seq[String], opt: Options): Seq[Cause] = {
+  private def mine(state: RoundState, attrs: Seq[String], opt: Options, round: Int = -1): Seq[Cause] = {
     val modes = weightedModes(state.expand, attrs)
-    if (modes.isEmpty) return Seq.empty // empty expansion (mining.py degenerate case)
+    if (modes.isEmpty) { opt.trace(s"ROUND $round: empty expansion"); return Seq.empty } // mining.py degenerate case
     val items: Seq[Item] = attrs.map(a => (a, modes(a)))
     val idxs = items.indices
 
@@ -214,26 +269,49 @@ object RobustSpot {
     val nBefore = beforeHist.values.sum
     val nAfter = afterHist.values.sum
 
-    // rules: itemsets of size 2..3, every lhs/rhs split (mining.py:16-30)
-    val itemsets23 = (2 to 3).flatMap(r => idxs.combinations(r).map(_.toSet)).toSeq
-    val rules = itemsets23.flatMap { is =>
-      is.subsets.filter(s => s.nonEmpty && s.size < is.size).map { lhs =>
-        (lhs.map(1 << _).sum, (is -- lhs).map(1 << _).sum)
-      }
-    }.distinct
+    // rules: itemsets of size 2..3, every lhs/rhs split (mining.py:16-30),
+    // then SCRAMBLED by `list(set(rules))` (mining.py:83). The scramble is
+    // load-bearing: support deltas are ratios of small integer counts, so
+    // exact ties are common, the downstream np.argsort is not stable, and
+    // the top-5 cut lands inside tie groups — replicate CPython's set
+    // iteration order (PyHash/PySet) and numpy's introsort exactly.
+    type Rule = (Seq[Item], Seq[Item])
+    val itemHash: Item => Long =
+      it => PyHash.tupleHash(Seq(PyHash.strHash(it._1), PyHash.strHash(it._2)))
+    val ruleHash: Rule => Long = { r =>
+      def side(xs: Seq[Item]) = PyHash.tupleHash(xs.map(itemHash))
+      PyHash.tupleHash(Seq(side(r._1), side(r._2)))
+    }
+    val itemIdx: Map[Item, Int] = items.zipWithIndex.toMap
+    val allRules: Seq[Rule] = (2 to 3).flatMap(r => idxs.combinations(r)).flatMap { is =>
+      val s = is.map(items)
+      val sSet = PyHash.PySet.of[Item](s, itemHash)
+      // rhs = tuple(set(s) - set(lhs)): the difference's table order
+      (1 until s.length).flatMap(r => is.combinations(r).map { lhsIdx =>
+        val lhs = lhsIdx.map(items)
+        val rhs = PyHash.PySet.difference(sSet, PyHash.PySet.of[Item](lhs, itemHash), itemHash).toList
+        (lhs, rhs): Rule
+      })
+    }
+    val orderedRules = PyHash.PySet.of[Rule](allRules, ruleHash).toList
 
-    val crossCauses = rules.flatMap { case (lhsBits, rhsBits) =>
+    val crossCauses = orderedRules.flatMap { case (lhs, rhs) =>
+      val lhsBits = lhs.map(it => 1 << itemIdx(it)).sum
+      val rhsBits = rhs.map(it => 1 << itemIdx(it)).sum
       val nl = supp(expandHist, lhsBits)
       val conf = if (nl == 0) 0.0 else supp(expandHist, lhsBits | rhsBits) / nl
       if (conf > opt.confidenceThreshold) Some(lhsBits | rhsBits) else None
-    }.distinct
+    }.distinct // dedup by content, first occurrence (mining.py:88-92)
 
     val causeBits = crossCauses ++ idxs.map(1 << _) // + singletons (size-1 power set)
     val deltas = causeBits.map(b => supp(beforeHist, b) / nBefore - supp(afterHist, b) / nAfter)
-    causeBits.zip(deltas).zipWithIndex
-      .sortBy { case ((_, d), i) => (d, i) } // stable argsort asc
-      .take(5)
-      .map { case ((b, _), _) => idxs.filter(i => (b & (1 << i)) != 0).map(items).sortBy(_._1) }
+    val top5 = NumpyArgsort.argsort(deltas.toArray).take(5).toSeq
+      .map(i => idxs.filter(j => (causeBits(i) & (1 << j)) != 0).map(items).sortBy(_._1))
+    opt.trace(s"ROUND $round: expand_rows=${expandHist.values.sum.toLong} " +
+      s"before_rows=${nBefore.toLong} after_rows=${nAfter.toLong}\n" +
+      s"  modes: ${items.sortBy(_._1).mkString(", ")}\n" +
+      top5.map(c => s"  top5: ${c.mkString("&")}").mkString("\n"))
+    top5
   }
 
   // -------------------------------------------------------------- merging
@@ -289,16 +367,16 @@ object RobustSpot {
     val states = new Array[RoundState](7)
     val rc = Array.fill[Seq[Cause]](7)(Seq.empty)
     states(0) = selectExpand(adapted, attributes, effOpt)
-    rc(0) = mine(states(0), attributes, effOpt)
+    rc(0) = mine(states(0), attributes, effOpt, 0)
 
     for (dim1 <- 1 to 3) {
       val i1 = 2 * dim1 - 1
       if (rc(0).size >= dim1) {
         states(i1) = selectExpand(dropCause(states(0).before, rc(0)(dim1 - 1)), attributes, effOpt)
-        rc(i1) = mine(states(i1), attributes, effOpt)
+        rc(i1) = mine(states(i1), attributes, effOpt, i1)
         if (rc(i1).nonEmpty) {
           states(i1 + 1) = selectExpand(dropCause(states(i1).before, rc(i1).head), attributes, effOpt)
-          rc(i1 + 1) = mine(states(i1 + 1), attributes, effOpt)
+          rc(i1 + 1) = mine(states(i1 + 1), attributes, effOpt, i1 + 1)
         }
       }
     }
@@ -309,17 +387,11 @@ object RobustSpot {
       getMergeRes(rc(0).slice(2, 3), rc(5).take(1), rc(6)) ++
       rc(0).map(Seq(_))
 
-    // p2p-discard collapse (robustspot.py:81-90; the reference compares int
-    // tuples against str data so it no-ops there — we match the intent on
-    // string values; no 'p2p' attribute means no-op either way)
-    val p2pItems: Set[Item] = Set(("p2p", "0"), ("p2p", "1"))
-    mergeRes = mergeRes.map { entry =>
-      if (entry.length == 2) {
-        val s0 = entry(0).toSet -- p2pItems
-        val s1 = entry(1).toSet -- p2pItems
-        if (s0 == s1 && s0.nonEmpty) Seq(s0.toSeq.sortBy(_._1)) else entry
-      } else entry
-    }
+    // p2p-discard collapse (robustspot.py:81-90) is a NO-OP in the
+    // reference: it discards the INT tuples ('p2p', 1)/('p2p', 0), but the
+    // data's values are strings ('1'/'0'), so nothing ever matches and no
+    // entry collapses. Replicate the no-op — "fixing" it to strings
+    // changes which entries merge and breaks corpus parity (RS_SWEEP.md).
 
     // merge_larger_dimension (final.py:52-70): collapse multi-cause entries
     // to their single-valued attributes when support is preserved
@@ -365,13 +437,14 @@ object RobustSpot {
       entry.map(c => beforeCounts(c).toDouble).sum / nBefore0 -
         entry.map(c => afterCounts(c).toDouble).sum / nAfter0
     }
-    val result = mergeRes.zip(deltas).zipWithIndex
-      .sortBy { case ((_, d), i) => (d, i) }
-      .take(opt.k)
-      .map { case ((entry, _), _) => entry }
+    // np.argsort (robustspot.py:106) — not stable; exact tie permutation
+    val result = NumpyArgsort.argsort(deltas.toArray).take(opt.k).toSeq
+      .map(mergeRes)
 
     adapted.unpersist()
     states.foreach(st => if (st != null) st.cached.unpersist())
+    opt.trace("FINAL:\n" + result.map(e =>
+      "   " + e.map(_.mkString("&")).mkString(" | ")).mkString("\n"))
     result
   }
 

@@ -176,7 +176,12 @@ object Kernels {
     val maxima = argrelextrema(yd, _ >= _)
     val minima = argrelextrema(yd, _ <= _).toSet
     if (maxima.isEmpty) return None
-    val meanDx = (0 until n - 1).map(i => math.abs(xn(i + 1) - xn(i))).sum / (n - 1)
+    // kneed: S * np.abs(np.diff(x_n).mean()) — abs OF the mean, not the
+    // mean of abs. Equal on sorted x; on RobustSpot's NaN-scrambled knee
+    // input (negative diffs) the two differ by orders of magnitude.
+    // np.mean rounds via pairwise summation, replicated by NumpySum.
+    val diffs = Array.tabulate(n - 1)(i => xn(i + 1) - xn(i))
+    val meanDx = math.abs(NumpySum.sum(diffs) / (n - 1))
     val tmx = maxima.map(i => yd(i) - s * meanDx)
 
     var maximaIdx = 0

@@ -38,7 +38,11 @@ object Labels {
   def parse(label: String): Seq[String] =
     label.split(";").toSeq.map(canonicalElement).distinct
 
-  /** Unify predictions: dedup + canonicalize (utils/evaluation.py:57-59). */
+  /** Unify predictions (utils/evaluation.py:57-59): np.unique dedups and
+    * sorts the RAW strings first, then each is canonicalized — two raw
+    * strings that canonicalize identically both survive, so the dedup
+    * must happen before canonicalization to count FPs like the
+    * reference. */
   def canonicalPredictions(preds: Seq[String]): Seq[String] =
-    preds.map(canonicalElement).distinct.sorted
+    preds.distinct.sorted.map(canonicalElement)
 }

@@ -1,0 +1,163 @@
+package graft.runner
+
+import graft.algorithms._
+import graft.eval.Evaluation
+import graft.sources.{RsLabels, RsSource}
+import org.apache.spark.sql.SparkSession
+
+import java.util.concurrent.Executors
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+
+/** Whole-corpus parity sweep over the reference's bundled 135-case RS
+  * production corpus (data/RS/anomaly.yaml) — the reference's headline
+  * end-to-end use (`run.py --run-path RS`). Runs robustspot / autoroot /
+  * squeeze / adtributor on every case with the reference CLI defaults,
+  * scores each with the set-match protocol (run.py:87-88,
+  * utils/evaluation.py:4-28), and diffs per-case predictions + F1 against
+  * the reference implementation's own output on the same files
+  * (fixtures/rs_corpus_golden.tsv, built by tools/make_rs_corpus_golden.py).
+  *
+  * Usage: RsSweep [rsDir] [goldenTsv] [outMd] [algos,csv]
+  * Prints one summary line per algorithm and a per-case diff for any
+  * mismatch; writes a markdown summary table; exit code 0 iff every
+  * per-case prediction set matches the golden.
+  */
+object RsSweep {
+
+  final case class CaseResult(algo: String, file: String, label: String,
+      preds: Seq[String], tp: Int, fp: Int, fn: Int, seconds: Double)
+
+  final case class Golden(label: String, preds: Seq[String],
+      tp: Int, fp: Int, fn: Int, f1: Double)
+
+  def readGolden(path: String): Map[(String, String), Golden] =
+    scala.io.Source.fromFile(path, "UTF-8").getLines().map { line =>
+      val f = line.split('\t')
+      // '|' separator: squeeze prediction strings legitimately contain ';'
+      // (multi-root-cause clusters), so ';' would mis-split them
+      val preds = if (f(3).isEmpty) Seq.empty[String] else f(3).split('|').toSeq
+      (f(0), f(1)) -> Golden(f(2), preds, f(4).toInt, f(5).toInt, f(6).toInt, f(7).toDouble)
+    }.toMap
+
+  def runCase(spark: SparkSession, rsDir: String, file: String, algo: String): CaseResult = {
+    val anomaly = RsLabels.labelFor(rsDir, file)
+    val raw = RsSource.readRaw(spark, s"$rsDir/$file.csv")
+    // robustspot's knee parity needs the CSV row order (see RobustSpot doc)
+    val snap = RsSource.snapshot(raw, anomaly.timestamp,
+      withRowIndex = algo == "robustspot")
+    val attrs = RsSource.attributesOf(raw)
+    val t0 = System.nanoTime()
+    val preds: Seq[String] = algo match {
+      case "robustspot" =>
+        // CSV column order (read_rs_dataframe) — the mining itemset order
+        // feeds tie resolution, so sorting here would break parity
+        RobustSpot.predictions(RobustSpot.run(snap, attrs,
+          RobustSpot.Options(k = 3, derived = true)))
+      case "autoroot" =>
+        AutoRoot.predictions(AutoRoot.run(snap, attrs,
+          AutoRoot.Options(deltaThreshold = 0.25)))
+      case "squeeze" =>
+        // Squeeze derives its own sorted attribute order (squeeze.py:38)
+        Squeeze.run(snap, attrs.sorted, Squeeze.Options(derived = true))
+      case "adtributor" =>
+        Adtributor.predictions(Adtributor.run(snap, attrs,
+          Adtributor.Options(derived = true)))
+      case other => throw new IllegalArgumentException(other)
+    }
+    val seconds = (System.nanoTime() - t0) / 1e9
+    val s = Evaluation.score(preds, anomaly.label)
+    CaseResult(algo, file, anomaly.label,
+      graft.model.Labels.canonicalPredictions(preds).sorted, s.tp, s.fp, s.fn, seconds)
+  }
+
+  def sweep(spark: SparkSession, rsDir: String, algos: Seq[String],
+      files: Seq[String], nThreads: Int = 8): Seq[CaseResult] = {
+    val pool = Executors.newFixedThreadPool(nThreads)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = for (a <- algos; f <- files) yield Future(runCase(spark, rsDir, f, a))
+      Await.result(Future.sequence(fs), Duration.Inf)
+    } finally pool.shutdown()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val rsDir = args.lift(0).getOrElse("/root/reference/data/RS")
+    val goldenPath = args.lift(1).getOrElse("src/test/resources/fixtures/rs_corpus_golden.tsv")
+    val outMd = args.lift(2).getOrElse("RS_SWEEP.md")
+    val algos = args.lift(3).map(_.split(',').toSeq)
+      .getOrElse(Seq("robustspot", "autoroot", "squeeze", "adtributor"))
+
+    val golden = readGolden(goldenPath)
+    val files = golden.keys.map(_._2).toSeq.distinct.sorted
+    println(s"${files.size} cases x ${algos.size} algorithms")
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = graft.core.Sessions.local(cpus, cpus, "graft-rs-sweep")
+    spark.sparkContext.setLogLevel("WARN")
+
+    val t0 = System.nanoTime()
+    val results = sweep(spark, rsDir, algos, files)
+    val wall = (System.nanoTime() - t0) / 1e9
+
+    val md = new StringBuilder
+    md ++= "# RS corpus parity sweep — 135 real production cases\n\n"
+    md ++= "Engine vs reference (`run.py` protocol, CLI defaults) on every case\n"
+    md ++= "of `data/RS/`. Golden: `src/test/resources/fixtures/rs_corpus_golden.tsv`\n"
+    md ++= "(the reference implementation's own per-case output; regenerate with\n"
+    md ++= "`PYTHONHASHSEED=0 python3 tools/make_rs_corpus_golden.py`).\n\n"
+    md ++= "| algorithm | cases | prediction-set match | F1 match | engine F1 | reference F1 | sweep sec |\n"
+    md ++= "|---|---|---|---|---|---|---|\n"
+
+    var allMatch = true
+    for (algo <- algos) {
+      val rs = results.filter(_.algo == algo).sortBy(_.file)
+      val mismatches = rs.filter { r =>
+        golden((algo, r.file)).preds.sorted != r.preds
+      }
+      val f1Mismatches = rs.filter { r =>
+        val g = golden((algo, r.file))
+        math.abs(Evaluation.Score(r.tp, r.fp, r.fn).f1 - g.f1) > 1e-12
+      }
+      val agg = rs.map(r => Evaluation.Score(r.tp, r.fp, r.fn)).reduce(_ + _)
+      val gAgg = rs.map(r => golden((algo, r.file)))
+        .map(g => Evaluation.Score(g.tp, g.fp, g.fn)).reduce(_ + _)
+      val secs = rs.map(_.seconds).sum
+      println(f"$algo%-12s pred-match ${rs.size - mismatches.size}/${rs.size} " +
+        f"f1-match ${rs.size - f1Mismatches.size}/${rs.size} " +
+        f"engineF1 ${agg.f1}%.4f refF1 ${gAgg.f1}%.4f (${secs}%.0f algo-sec)")
+      md ++= f"| $algo | ${rs.size} | ${rs.size - mismatches.size}/${rs.size} " +
+        f"| ${rs.size - f1Mismatches.size}/${rs.size} | ${agg.f1}%.4f | ${gAgg.f1}%.4f | ${secs}%.0f |\n"
+      for (m <- mismatches) {
+        val g = golden((algo, m.file))
+        println(s"  DIFF $algo ${m.file}")
+        println(s"    ref:    ${g.preds.sorted.mkString(";")}")
+        println(s"    engine: ${m.preds.mkString(";")}")
+        allMatch = false
+      }
+    }
+    if (results.exists(r => !algos.contains(r.algo))) allMatch = false
+
+    val diffs = for {
+      algo <- algos
+      r <- results.filter(_.algo == algo).sortBy(_.file)
+      g = golden((algo, r.file))
+      if g.preds.sorted != r.preds
+    } yield (algo, r, g)
+    if (diffs.nonEmpty) {
+      md ++= "\n## Per-case differences\n\n"
+      md ++= "| algorithm | case | reference | engine | ref F1 | engine F1 |\n|---|---|---|---|---|---|\n"
+      for ((algo, r, g) <- diffs)
+        md ++= s"| $algo | ${r.file} | ${g.preds.sorted.mkString("; ")} | ${r.preds.mkString("; ")} " +
+          f"| ${g.f1}%.3f | ${Evaluation.Score(r.tp, r.fp, r.fn).f1}%.3f |\n"
+    } else md ++= "\nEvery per-case prediction set matches the reference exactly.\n"
+
+    md ++= f"\nSweep wall-clock: $wall%.0f s (${algos.size} algorithms x ${files.size} cases, " +
+      f"${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")} cores).\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(outMd),
+      md.toString.getBytes("UTF-8"))
+    println(s"wrote $outMd; all-match=$allMatch")
+    spark.stop()
+    if (!allMatch) sys.exit(1)
+  }
+}

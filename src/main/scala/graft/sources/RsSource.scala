@@ -30,9 +30,18 @@ object RsSource {
     * (robustspot_data_utils.py:20-41). Output uses the derived-measure
     * common format: real/predict + real_a/predict_a (value) +
     * real_b/predict_b (cnt), attributes cast to string. */
-  def snapshot(raw0: DataFrame, ts: Long, predictPeriods: Int = 4): DataFrame = {
+  def snapshot(raw0: DataFrame, ts: Long, predictPeriods: Int = 4,
+      withRowIndex: Boolean = false): DataFrame = {
     val attrs = attributesOf(raw0)
-    val raw = raw0
+    // Parity knob: `__row` preserves the CSV file order of the snapshot
+    // rows — RobustSpot's knee threshold replays the reference's
+    // sort-with-NaNs quirk (select_expand.py:42-44) over the IDs in
+    // pandas row order, which is this order. monotonically_increasing_id
+    // is file-order monotone (splits are offset-ordered); parity runs
+    // read one file. Off by default — scale runs don't pay for it.
+    val raw1 = if (withRowIndex) raw0.withColumn("__row", monotonically_increasing_id())
+               else raw0
+    val raw = raw1
       // inferred CSV columns may be integral; the measure algebra is double
       .withColumn("value", col("value").cast("double"))
       .withColumn("cnt", col("cnt").cast("double"))
@@ -50,10 +59,11 @@ object RsSource {
         avg("cnt").as("predict_b"),
         avg(when(isnan(col("k_real")), lit(null)).otherwise(col("k_real"))).as("predict"))
 
+    val rowCol = if (withRowIndex) Seq(col("__row")) else Seq.empty
     val current = raw
       .filter(col("min") === ts)
       .select((attrs.map(col) ++ Seq(
-        col("value").as("real_a"), col("cnt").as("real_b"), col("k_real").as("real"))): _*)
+        col("value").as("real_a"), col("cnt").as("real_b"), col("k_real").as("real")) ++ rowCol): _*)
 
     val joined = current.join(history, attrs, "left")
     val filled = joined
@@ -62,6 +72,6 @@ object RsSource {
       .withColumn("predict", when(isnan(col("predict")), 0.0).otherwise(col("predict")))
     attrs.foldLeft(filled)((d, a) => d.withColumn(a, col(a).cast(StringType)))
       .select((attrs.map(col) ++ Seq("real", "predict", "real_a", "predict_a",
-        "real_b", "predict_b").map(col)): _*)
+        "real_b", "predict_b").map(col) ++ rowCol): _*)
   }
 }

@@ -18,9 +18,11 @@ class RsRealDataSpec extends AnyFunSuite {
   private def predictionsFor(caseName: String): Seq[String] = {
     val anomaly = RsLabels.labelFor(rsDir, caseName)
     val raw = RsSource.readRaw(spark, s"$rsDir/$caseName.csv")
-    val snap = RsSource.snapshot(raw, anomaly.timestamp)
+    // parity mode: __row carries the CSV row order so the knee replays
+    // the reference's NaN-sort scramble; attrs in CSV column order
+    val snap = RsSource.snapshot(raw, anomaly.timestamp, withRowIndex = true)
     RobustSpot.predictions(
-      RobustSpot.run(snap, RsSource.attributesOf(raw).sorted,
+      RobustSpot.run(snap, RsSource.attributesOf(raw),
         RobustSpot.Options(k = 3, derived = true))).sorted
   }
 
@@ -71,23 +73,17 @@ class RsRealDataSpec extends AnyFunSuite {
     assert(preds.sorted == Seq("cdn=7", "device=C2", "p2p=0"))
   }
 
-  test("robustspot on case1: agrees with the reference up to its NaN-sort scrambling") {
+  test("robustspot matches the reference exactly on case1 (NaN-scrambled knee input)") {
     // The reference sorts the influence-degree list WITH NaNs still inside
     // (select_expand.py:42-44); Python's Timsort with NaN comparisons
     // returning False leaves the list partially UNSORTED, so its Kneedle
-    // runs on scrambled x values — an incidental artifact, not a spec
-    // (on NaN-free input the reference's own knee equals ours exactly,
-    // e.g. case55 above). We sort after dropping NaN; on this case the
-    // resulting knee (0.356 vs the scrambled 0.035) swaps one of the
-    // three reported causes. The reference's set: bitrate=2000,
-    // bitrate=2000&device=C1, bitrate=2000&p2p=1 (label: bitrate=2000&p2p=1).
+    // runs on scrambled x values. Parity mode replays that scramble
+    // bit-for-bit (PyListSort + the __row CSV-order column), so the
+    // reference's exact output is reproduced — including the knee that
+    // only exists because of the scramble.
     assume(new java.io.File(s"$rsDir/case1_0821_1741394221.csv").exists(),
       "reference corpus not mounted")
     val preds = predictionsFor("case1_0821_1741394221")
-    val reference = Set("bitrate=2000", "bitrate=2000&device=C1", "bitrate=2000&p2p=1")
-    assert((preds.toSet & reference).size >= 2, preds.toString)
-    assert(preds.contains("bitrate=2000&p2p=1"), "the labeled true cause is found")
-    // regression pin for our deterministic output
-    assert(preds == Seq("bitrate=2000", "bitrate=2000&p2p=1", "p2p=1"))
+    assert(preds == Seq("bitrate=2000", "bitrate=2000&device=C1", "bitrate=2000&p2p=1"))
   }
 }
