@@ -33,7 +33,9 @@ object Squeeze {
       scoreWeight: Option[Double] = None, // None = 'auto'
       psUpperBound: Double = 0.9,
       maxNumElements: Int = 12,
-      derived: Boolean = false)
+      derived: Boolean = false,
+      /** Per-cluster/per-cuboid debug tracing (mirrors tools/sq_trace_ref.py). */
+      trace: String => Unit = _ => ())
 
   /** Squeeze's own leaf deviation: (f-v)/(f+v), NaN -> 0
     * (squeeze.py:354-364; note: no factor 2). */
@@ -68,6 +70,10 @@ object Squeeze {
     val maxIdx = Kernels.argrelextrema(smoothed, _ > _, wrap = true).filter(smoothed(_) > 0)
     val minIdx = Kernels.argrelextrema(smoothed, _ <= _, wrap = true)
     val boundaries = (Double.NegativeInfinity +: minIdx.map(bins).toSeq :+ Double.PositiveInfinity).toArray
+    opt.trace(s"DCLUSTER nbins=${bins.length} maxidx=${maxIdx.mkString("[", ", ", "]")} " +
+      s"minidx=${minIdx.mkString("[", ", ", "]")}")
+    opt.trace(s"  DENS ${smoothed.map(java.lang.Double.toHexString).mkString("[", ", ", "]")}")
+    opt.trace(s"  BINS ${bins.map(java.lang.Double.toHexString).mkString("[", ", ", "]")}")
 
     val maxNormal =
       if (opt.autoNormalDeviation) devs.map(math.abs).sum / devs.length
@@ -80,9 +86,11 @@ object Squeeze {
       val right = boundaries(lowerBound(boundaries, x))
       val left = boundaries(upperBound(boundaries, x) - 1)
       val members = devs.filter(d => d >= left && d <= right)
+      val mu = if (members.isEmpty) Double.NaN
+               else members.map(math.abs).sum / members.length
+      opt.trace(s"  MAX idx=$idx bin=$x lb=$left rb=$right n=${members.length} mu=$mu")
       if (members.isEmpty) None
       else {
-        val mu = members.map(math.abs).sum / members.length
         if (math.abs(mu) < maxNormal) None
         else Some((members.min, members.max))
       }
@@ -137,11 +145,16 @@ object Squeeze {
     val filteredDevs =
       if (opt.enableFilter) {
         val knee = kpiFilterKnee(metrics)
+        opt.trace(s"KPIFILTER n=${metrics.length} knee=$knee " +
+          s"metmin=${metrics.min} metmax=${metrics.max}")
         devs.zip(metrics).collect { case (d, m) if m > knee => d }
       } else devs
     if (filteredDevs.isEmpty) { df.unpersist(); return Seq.empty }
 
     val intervals = clusterIntervals(filteredDevs, opt)
+    opt.trace(s"ONEDIM in=${filteredDevs.length} clusters=" +
+      intervals.map { case (lo, hi) => filteredDevs.count(d => d >= lo && d <= hi) }
+        .mkString("[", ", ", "]"))
     if (intervals.isEmpty) { df.unpersist(); return Seq.empty }
 
     // interval re-expansion over ALL leaves (squeeze.py:119-126)
@@ -155,6 +168,8 @@ object Squeeze {
     // collection order (the reference's row order is itself arbitrary here)
     val normalThreshold = abnormalDevs.minBy(d => (math.abs(d), d))
     val isNormal: Column = abs(col("deviation")) < normalThreshold
+    opt.trace(s"NORMAL thr=$normalThreshold n_normal=${devs.count(d => math.abs(d) < normalThreshold)} " +
+      s"n_abn=${abnormalDevs.length}")
 
     // auto score weight (squeeze.py:281-300, revised formula)
     val nClusters = intervals.size
@@ -171,13 +186,37 @@ object Squeeze {
     }
 
     val rootCauses = intervals.map { case (lo, hi) =>
-      locateInCluster(df, attributes, lo, hi, isNormal, scoreWeight, opt)
+      val members = devs.filter(d => d >= lo && d <= hi)
+      opt.trace(s"CLUSTER n=${members.length} devmin=${members.min} devmax=${members.max}")
+      val rc = locateInCluster(df, attributes, lo, hi, isNormal, scoreWeight, opt)
+      rc.foreach(r => opt.trace(s"  PICK ${r.map(_.label).sorted.mkString(";")}"))
+      rc
     }.collect { case Some(rc) => rc }
 
     df.unpersist(); base.unpersist()
-    // unique element-sets -> canonical strings (squeeze.py:65-70)
+    // unique element-sets -> canonical strings (squeeze.py:65-70). The
+    // reference joins each root cause's elements in frozenset(ret)
+    // ITERATION order (AC.batch_to_string) — CPython hash-table order of
+    // the AC tuple hashes, replicated via PyHash/PySet. The ';' order is
+    // observable: evaluation only '&'-sorts within elements, so a
+    // compound string keeps this order.
+    def frozensetOrder(elems: Seq[Element]): Seq[Element] = {
+      // AC.__hash__ hashes the FULL sorted-key id including the
+      // ('attr', '__ANY__') pairs of unset attributes
+      // (attribute_combination.py:20-35)
+      val sortedAttrs = attributes.sorted
+      val acHash: Element => Long = { e =>
+        val m = e.pairs.toMap
+        graft.kernels.PyHash.tupleHash(sortedAttrs.map { k =>
+          val v = m.getOrElse(k, "__ANY__")
+          graft.kernels.PyHash.tupleHash(Seq(
+            graft.kernels.PyHash.strHash(k), graft.kernels.PyHash.strHash(v)))
+        })
+      }
+      graft.kernels.PyHash.PySet.of(elems, acHash).toList
+    }
     Labels.canonicalPredictions(
-      rootCauses.map(rc => rc.map(_.label).sorted.mkString(";")).distinct)
+      rootCauses.map(rc => frozensetOrder(rc).map(_.label).mkString(";")).distinct)
   }
 
   /** One cluster's search (squeeze.py:241-275). Returns the root cause as
@@ -189,6 +228,9 @@ object Squeeze {
 
     val inCluster: Column = col("deviation") >= lo && col("deviation") <= hi
     val inSubset: Column = inCluster || isNormal
+    // a/b measure components exist only for derived datasets
+    def derivedColOr(name: String): Column =
+      if (df.columns.contains(name)) col(name) else lit(0.0)
 
     case class CuboidResult(cid: Int, layer: Int, rc: Seq[Element], score: Double, nEle: Int) {
       def rank: Double = score * scoreWeight - nEle.toDouble * layer
@@ -209,7 +251,15 @@ object Squeeze {
           count(when(inSubset, lit(1))).as("n_sub"),
           sum(when(inSubset, col("real")).otherwise(0.0)).as("sv_sub"),
           sum(when(inSubset, col("predict")).otherwise(0.0)).as("sf_sub"),
-          sum(when(inSubset, abs(col("real") - col("predict"))).otherwise(0.0)).as("l1_sub"))
+          sum(when(inSubset, abs(col("real") - col("predict"))).otherwise(0.0)).as("l1_sub"),
+          // derived mode: the ripple ratio sums the MEASURE COMPONENTS
+          // first and divides after (get_derived_dataframe reduction='sum'
+          // applies op to the summed a/b frames, squeeze.py:325-335) — a
+          // sum of per-row ratios is a different number entirely
+          sum(when(inSubset, derivedColOr("real_a")).otherwise(0.0)).as("sva"),
+          sum(when(inSubset, derivedColOr("real_b")).otherwise(0.0)).as("svb"),
+          sum(when(inSubset, derivedColOr("predict_a")).otherwise(0.0)).as("sfa"),
+          sum(when(inSubset, derivedColOr("predict_b")).otherwise(0.0)).as("sfb"))
         .persist(StorageLevel.MEMORY_AND_DISK)
 
       val Row(nSubTotal: Long, l1SubTotal: Double) =
@@ -220,44 +270,51 @@ object Squeeze {
 
       // driver: order elements per cuboid by descent score; compute
       // cumulative stats; build rank + ratio tables for pass 2
-      case class Plan(cid: Int, elems: Array[(Seq[String], Long, Long, Long, Double, Double, Double)],
+      case class Plan(cid: Int, elems: Array[(Seq[String], Long, Long, Long, Double, Double, Double, Double, Double, Double, Double)],
           partitions: Int, ratios: Array[Double])
       val plans = perCid.toSeq.sortBy(_._1).flatMap { case (cid, rows) =>
         val all = rows.map(r => (r.getSeq[String](1), r.getLong(2), r.getLong(3), r.getLong(4),
-          r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+          r.getDouble(5), r.getDouble(6), r.getDouble(7),
+          r.getDouble(8), r.getDouble(9), r.getDouble(10), r.getDouble(11)))
         val nDistinctIdx = all.length // distinct cuboid tuples in full data
         val abn = all.filter(_._2 > 0)
         if (abn.isEmpty) None
         else {
-          // descent = n_abn / max(n_all, 1e-4); desc order; ties follow the
-          // reference's reversed unique order (element desc)
-          val ordered = abn.sortBy(e => (-(e._2.toDouble / math.max(e._3.toDouble, 1e-4)), e._1.mkString("\u0000")))
-            .reverse.sortBy(e => -(e._2.toDouble / math.max(e._3.toDouble, 1e-4)))
+          // Reference element order (squeeze.py:148-161): np.unique sorts
+          // elements by their value tuple (AC.__lt__ on the sorted-key id;
+          // NUL-joined strings compare identically for same-arity tuples),
+          // then descent = n_abn / max(n_all, 1e-4) is ranked by
+          // np.argsort(...)[::-1] — NOT stable: the reversed tie
+          // permutation decides which elements enter each partition prefix.
+          val base = abn.sortBy(_._1.mkString("\u0000"))
+          val descent = base.map(e => e._2.toDouble / math.max(e._3.toDouble, 1e-4)).toArray
+          val ordered = graft.kernels.NumpyArgsort.argsort(descent).reverse.map(base)
+          if (sys.env.get("SQ_DETAIL").contains(cuboids(cid).mkString(","))) {
+            opt.trace(s"  DETAIL ${cuboids(cid).mkString(",")}")
+            for (e <- ordered)
+              opt.trace(s"    ELEM ${cuboids(cid).zip(e._1).map { case (a, v) => s"$a=$v" }.mkString("&")} " +
+                s"n_abn=${e._2} n_all=${e._3} descent=${e._2.toDouble / math.max(e._3.toDouble, 1e-4)}")
+          }
           val nPart = math.min(math.min(ordered.length, opt.maxNumElements), nDistinctIdx - 1)
           if (nPart <= 0) Some(Plan(cid, ordered.toArray, 0, Array.empty))
           else {
             val ratios = new Array[Double](nPart)
             var cv = 0.0; var cf = 0.0
+            var cva = 0.0; var cvb = 0.0; var cfa = 0.0; var cfb = 0.0
             for (p <- 1 to nPart) {
               cv += ordered(p - 1)._5; cf += ordered(p - 1)._6
-              ratios(p - 1) = if (cf > 0) cv / cf else 0.0
+              cva += ordered(p - 1)._8; cvb += ordered(p - 1)._9
+              cfa += ordered(p - 1)._10; cfb += ordered(p - 1)._11
+              // reference: plain np division — inf/NaN propagate into ps
+              ratios(p - 1) = if (opt.derived) (cva / cvb) / (cfa / cfb) else cv / cf
             }
             Some(Plan(cid, ordered.toArray, nPart, ratios))
           }
         }
       }
 
-      // Degenerate cuboids (nPart <= 0): the reference _locate_in_cuboid
-      // returns (all abnormal elements, -inf), still selectable when every
-      // cuboid is degenerate — keep that fallback (squeeze.py:223-228).
-      for (pl <- plans if pl.partitions <= 0) {
-        val cuboid = cuboids(pl.cid)
-        val rc = pl.elems.map(e => Element(cuboid, e._1)).toSeq
-        results += CuboidResult(pl.cid, layer, rc, Double.NegativeInfinity, pl.elems.length)
-      }
-
       val maxP = (0 +: plans.map(_.partitions)).max
-      if (maxP > 0) {
+      val l1Terms: Map[Int, Row] = if (maxP > 0) {
         // pass 2: L1(v1, f1*ratio_p) for all cuboids and partitions at once
         val spark = df.sparkSession
         import spark.implicits._
@@ -267,7 +324,7 @@ object Squeeze {
         val rankDf = rankRows.toDF("rcid", "rkey", "rank")
         val ratioDf = ratioRows.toDF("tcid", "ratios")
 
-        val l1Terms = exploded
+        exploded
           .filter(inSubset)
           .join(broadcast(rankDf), col("cb.cid") === col("rcid") && col("cb.key") === col("rkey"))
           .join(broadcast(ratioDf), col("cb.cid") === col("tcid"))
@@ -282,11 +339,23 @@ object Squeeze {
                 abs(col("real") - col("predict") * element_at(col("ratios"), p)))
                 .otherwise(0.0)).as(s"l1a_$p")).tail: _*)
           .collect().map(r => r.getInt(0) -> r).toMap
+      } else Map.empty
 
-        for (pl <- plans if pl.partitions > 0) {
+      // One result per cuboid IN COMBINATION ORDER (the cluster-level rank
+      // sort is stable, so tied ranks resolve by this order —
+      // squeeze.py:249-268).
+      for (pl <- plans) {
+        if (pl.partitions <= 0) {
+          // Degenerate cuboid: the reference returns (all abnormal
+          // elements, -inf), still selectable when every cuboid is
+          // degenerate (squeeze.py:223-228).
+          val cuboid = cuboids(pl.cid)
+          val rc = pl.elems.map(e => Element(cuboid, e._1)).toSeq
+          opt.trace(s"  CUBOID ${cuboid.mkString(",")} n_rc=${rc.size} score=-inf " +
+            s"rc=${rc.map(_.label).mkString(";")}")
+          results += CuboidResult(pl.cid, layer, rc, Double.NegativeInfinity, pl.elems.length)
+        } else {
           val l1aRow = l1Terms.get(pl.cid)
-          var bestScore = Double.NegativeInfinity
-          var bestP = -1
           var cumN = 0L; var cumL1 = 0.0
           val scores = new Array[Double](pl.partitions)
           for (p <- 1 to pl.partitions) {
@@ -295,23 +364,30 @@ object Squeeze {
             val n1 = cumN.toDouble
             val n2 = (nSubTotal - cumN).toDouble
             val l1v1f1 = cumL1
-            val l1v2f2 = l1SubTotal - cumL1
+            // empty complement: its L1 is definitionally 0 — the
+            // subtraction residual (~1e-16) would turn divide(x, 0) into
+            // inf and the score into NaN where the reference gets 0
+            val l1v2f2 = if (n2 == 0) 0.0 else l1SubTotal - cumL1
             val l1v1a1 = l1aRow.map(_.getDouble(p)).getOrElse(0.0)
             val denom = divideGuard(l1v1f1, n1) + divideGuard(l1v2f2, n2)
             val num = divideGuard(l1v1a1, n1) + divideGuard(l1v2f2, n2)
             val ps = 1.0 - num / denom
             scores(p - 1) = ps
+            if (sys.env.get("SQ_DETAIL").contains(cuboids(pl.cid).mkString(",")))
+              opt.trace(s"    P p=$p n1=${cumN} n2=${nSubTotal - cumN} " +
+                s"ratio=${pl.ratios(p - 1)} l1f=$l1v1f1 l1a=$l1v1a1 l1n=$l1v2f2 ps=$ps")
           }
-          // max score; ties -> larger p (reference's reversed argsort)
-          for (p <- pl.partitions to 1 by -1)
-            if (scores(p - 1) > bestScore) { bestScore = scores(p - 1); bestP = p }
-          if (bestP > 0) {
-            val cuboid = cuboids(pl.cid)
-            val rc = pl.elems.take(bestP).map(e => Element(cuboid, e._1)).toSeq
-            results += CuboidResult(pl.cid, layer, rc, bestScore, bestP)
-          } else {
-            results += CuboidResult(pl.cid, layer, Seq.empty, Double.NegativeInfinity, 0)
-          }
+          // np.argsort(rc_scores)[::-1][0] (squeeze.py:232-238): max score
+          // with ties resolved to the LARGER partition, and NaN scores —
+          // argsort-greatest — selected first after the reversal
+          val order = graft.kernels.NumpyArgsort.argsort(scores)
+          val bestP = order(order.length - 1) + 1
+          val bestScore = scores(bestP - 1)
+          val cuboid = cuboids(pl.cid)
+          val rc = pl.elems.take(bestP).map(e => Element(cuboid, e._1)).toSeq
+          opt.trace(s"  CUBOID ${cuboid.mkString(",")} n_rc=${rc.size} score=$bestScore " +
+            s"rc=${rc.map(_.label).mkString(";")}")
+          results += CuboidResult(pl.cid, layer, rc, bestScore, bestP)
         }
       }
       stats.unpersist(); exploded.unpersist()

@@ -89,8 +89,12 @@ object Kernels {
     val sturges = ptp / (math.log(n.toDouble) / math.log(2.0) + 1.0)
     val width = if (fd > 0) math.min(fd, sturges) else sturges
     val nBins = math.max(1, math.ceil(ptp / width).toInt)
+    // np.linspace rounding: one precomputed step, y_i = i*step + start,
+    // endpoint overwritten with stop — NOT first + ptp*i/nBins, which is a
+    // ULP away and flips strict-'>' maxima tests downstream
+    val step = ptp / nBins
     Array.tabulate(nBins + 1)(i =>
-      if (i == nBins) last else first + ptp * i / nBins)
+      if (i == nBins) last else i * step + first)
   }
 
   /** numpy.histogram with explicit (possibly non-uniform) edges,
@@ -109,7 +113,10 @@ object Kernels {
       }
     }
     val n = data.length.toDouble
-    Array.tabulate(nBins)(i => counts(i) / (n * (edges(i + 1) - edges(i))))
+    // numpy rounds as n/db/n.sum() — divide by the bin width FIRST, then
+    // by the total. count/(n*width) is a ULP away, which flips the
+    // strict-'>' maxima test in Squeeze's density clustering.
+    Array.tabulate(nBins)(i => counts(i) / (edges(i + 1) - edges(i)) / n)
   }
 
   /** Reference's smoothing (density_cluster.py:11-15): valid convolution

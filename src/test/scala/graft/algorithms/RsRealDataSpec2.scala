@@ -34,6 +34,6 @@ class RsRealDataSpec2 extends AnyFunSuite {
     // are part of the algorithm's contract
     val preds = Squeeze.run(df, attrs.sorted, Squeeze.Options(derived = true))
     assert(preds.sorted == Seq(
-      "cdn=7&isp=湖南有线/联通", "device=C2&isp=黑龙江广电", "device=C3&isp=方正宽带/电信"))
+      "device=C2&isp=黑龙江广电", "device=C3&isp=方正宽带/电信", "isp=bite.lt"))
   }
 }
