@@ -219,7 +219,9 @@ object ReferenceCorpus {
       // injection_info.csv rewritten per file, like the reference
       val info = new StringBuilder("timestamp,set," + MetaCols.mkString(",") + "\n")
       used.foreach { case (nm, (lb, mt)) =>
-        info ++= (Seq(nm, "\"" + lb + "\"") ++ MetaCols.map(mt)).mkString(",") + "\n"
+        // labels contain ';'/'&' but never ',' — pandas to_csv leaves them
+        // unquoted, and the reference's readers expect that
+        info ++= (Seq(nm, lb) ++ MetaCols.map(mt)).mkString(",") + "\n"
       }
       Files.write(Paths.get(outDir, "injection_info.csv"), info.toString.getBytes("UTF-8"))
     }

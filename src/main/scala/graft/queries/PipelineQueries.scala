@@ -163,7 +163,10 @@ object PipelineQueries {
     },
 
     GateQuery.rowsOnly("q58_simhash") { (s, dir) =>
-      Dedup.simhashNearDuplicates(documents(s, dir), "doc_id", "text", maxHamming = 16)
+      // maxHamming 7 -> 8 banding chunks of 8 bits: the widest radius the
+      // guaranteed-recall banding supports without the candidate join
+      // degenerating (chunk width 64/(h+1); see Dedup scale note)
+      Dedup.simhashNearDuplicates(documents(s, dir), "doc_id", "text", maxHamming = 7)
         .orderBy("id_a", "id_b")
     },
 
@@ -222,6 +225,32 @@ object PipelineQueries {
       docs.select(col("doc_id"),
         TextAnalysis.ngramLangId(col("text"), profiles).as("pred_lang"))
         .orderBy("doc_id")
+    },
+
+    GateQuery.rowsOnly("q64_multimodal") { (s, dir) =>
+      // the modality path end to end: documents stand in for a media
+      // table (payload = utf-8 bytes; a real pipeline reads binary
+      // parquet columns), batched per-partition decode via the marked
+      // stub codec, deterministic per-record feature summary
+      import s.implicits._
+      val media = documents(s, dir)
+        .select(
+          col("doc_id").as("mediaId"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+          encode(col("text"), "UTF-8").as("payload"),
+          (length(col("text")) % 640).cast("int").as("width"),
+          (length(col("text")) % 480).cast("int").as("height"),
+          lit(16000).as("sampleRate"),
+          (length(col("text")) * 10).cast("int").as("durationMs"))
+        .as[graft.operators.Multimodal.MediaRecord]
+      val feats = graft.operators.Multimodal.extractFeatures(
+        graft.operators.Multimodal.partitionByKind(media, 8), dim = 16)
+      feats.toDF()
+        .select(col("mediaId").as("media_id"), col("kind"),
+          round(aggregate(col("features").cast("array<double>"), lit(0.0),
+            (acc, x) => acc + abs(x)), 4).as("feat_l1"))
+        .orderBy("media_id")
     },
   )
 }

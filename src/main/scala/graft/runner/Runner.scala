@@ -33,7 +33,15 @@ object Runner {
 
   def runInstance(spark: SparkSession, dataRoot: String,
       ref: InstanceSource.InstanceRef, algorithm: String,
-      derivedFlag: Option[Boolean]): InstanceResult = {
+      derivedFlag: Option[Boolean]): InstanceResult =
+    runInstance(spark, dataRoot, ref, algorithm, derivedFlag, Map.empty)
+
+  /** `opts`: the reference CLI's per-algorithm flags
+    * (utils/argument_parser.py:18-69) by their kebab-case names, e.g.
+    * "risk-threshold" -> "0.4", "teep" -> "0.05", "debug" -> "true". */
+  def runInstance(spark: SparkSession, dataRoot: String,
+      ref: InstanceSource.InstanceRef, algorithm: String,
+      derivedFlag: Option[Boolean], opts: Map[String, String]): InstanceResult = {
     val rsData = ref.dataset == "RS"
     val derived = derivedFlag.getOrElse(ref.dataset == "D" || rsData)
     val dir = ref.dir(dataRoot)
@@ -51,23 +59,47 @@ object Runner {
           InstanceSource.injectionLabel(dir, ref.file))
 
     val attributes = Snapshots.attributes(df)
+    def d(key: String, dflt: Double) = opts.get(key).map(_.toDouble).getOrElse(dflt)
+    def i(key: String, dflt: Int) = opts.get(key).map(_.toInt).getOrElse(dflt)
+    def b(key: String, dflt: Boolean) = opts.get(key).map(_.toBoolean).getOrElse(dflt)
+    val trace: String => Unit =
+      if (b("debug", dflt = false)) line => Console.err.println(s"[${ref.file}] $line")
+      else _ => ()
     val t0 = System.nanoTime()
     val predictions: Seq[String] = algorithm match {
       case "riskloc" =>
-        RiskLoc.predictions(RiskLoc.run(df, attributes, RiskLoc.Options(derived = derived)))
+        RiskLoc.predictions(RiskLoc.run(df, attributes, RiskLoc.Options(
+          riskThreshold = d("risk-threshold", 0.5),
+          pepThreshold = d("pep-threshold", 0.02),
+          nRemove = i("n-remove", 5),
+          removeRelative = b("remove-relative", dflt = false),
+          pruneElements = b("prune-elements", dflt = true),
+          derived = derived)))
       case "adtributor" =>
-        Adtributor.predictions(Adtributor.run(df, attributes, Adtributor.Options(derived = derived)))
+        Adtributor.predictions(Adtributor.run(df, attributes, Adtributor.Options(
+          tep = d("tep", 0.1), teep = d("teep", 0.1), k = i("k", 3), derived = derived)))
       case "rev_rec_adtributor" =>
         RevRecAdtributor.predictions(RevRecAdtributor.run(df, attributes,
-          RevRecAdtributor.Options(derived = derived)))
+          RevRecAdtributor.Options(teep = d("teep", 0.2), k = i("k", 3), derived = derived)))
       case "autoroot" =>
-        AutoRoot.predictions(AutoRoot.run(df, attributes, AutoRoot.Options(deltaThreshold = 0.25)))
+        AutoRoot.predictions(AutoRoot.run(df, attributes,
+          AutoRoot.Options(deltaThreshold = d("delta-threshold", 0.25))))
       case "squeeze" =>
-        Squeeze.run(df, attributes, Squeeze.Options(derived = derived))
+        Squeeze.run(df, attributes, Squeeze.Options(
+          psUpperBound = d("ps-upper-bound", 0.9),
+          maxNumElements = i("max-num-elements-single-cluster", 12),
+          derived = derived, trace = trace))
       case "hotspot" =>
-        HotSpot.predictions(HotSpot.run(df, attributes))
+        HotSpot.predictions(HotSpot.run(df, attributes, HotSpot.Options(
+          pt = d("pt", 0.8), m = i("m", 200),
+          scoring = opts.getOrElse("scoring", "gps"))))
       case "robustspot" =>
-        RobustSpot.predictions(RobustSpot.run(df, attributes, RobustSpot.Options(derived = derived)))
+        RobustSpot.predictions(RobustSpot.run(df, attributes, RobustSpot.Options(
+          k = i("k", 3),
+          lambdaAmplification = i("lambda-amplification", 100),
+          caThreshold = d("contribution-ability-threshold", 0.0),
+          confidenceThreshold = d("confidence-threshold", 0.8),
+          derived = derived, trace = trace)))
       case other => throw new IllegalArgumentException(s"unknown algorithm: $other")
     }
     val seconds = (System.nanoTime() - t0) / 1e9
@@ -94,11 +126,12 @@ object Runner {
   /** Run every instance concurrently (the reference's process pool becomes
     * concurrent job submission against one session). */
   def runAll(spark: SparkSession, dataRoot: String, refs: Seq[InstanceSource.InstanceRef],
-      algorithm: String, derivedFlag: Option[Boolean], nThreads: Int): Seq[InstanceResult] = {
+      algorithm: String, derivedFlag: Option[Boolean], nThreads: Int,
+      opts: Map[String, String] = Map.empty): Seq[InstanceResult] = {
     val pool = Executors.newFixedThreadPool(nThreads)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
-      val futures = refs.map(ref => Future(runInstance(spark, dataRoot, ref, algorithm, derivedFlag)))
+      val futures = refs.map(ref => Future(runInstance(spark, dataRoot, ref, algorithm, derivedFlag, opts)))
       Await.result(Future.sequence(futures), Duration.Inf)
     } finally pool.shutdown()
   }
@@ -110,9 +143,19 @@ object Runner {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: Runner <algorithm> --run-path <dir> [...]")
     val algorithm = canonicalAlgorithm(args(0))
-    val opts = args.drop(1).sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap
+    // --flag value pairs; a bare --flag (e.g. --debug) reads as "true"
+    val opts = {
+      val m = collection.mutable.Map.empty[String, String]
+      var i = 1
+      while (i < args.length) {
+        require(args(i).startsWith("--"), s"expected --flag, got ${args(i)}")
+        val k = args(i).drop(2)
+        if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+          m(k) = args(i + 1); i += 2
+        } else { m(k) = "true"; i += 1 }
+      }
+      m.toMap
+    }
     val dataRoot = opts.getOrElse("data-root", "data")
     val runPath = opts.getOrElse("run-path", "")
     val nThreads = opts.getOrElse("n-threads", "10").toInt
@@ -126,7 +169,7 @@ object Runner {
     val refs = InstanceSource.instances(dataRoot, runPath)
     require(refs.nonEmpty, s"no instances under $dataRoot/$runPath")
 
-    val results = runAll(spark, dataRoot, refs, algorithm, derivedFlag, nThreads)
+    val results = runAll(spark, dataRoot, refs, algorithm, derivedFlag, nThreads, opts)
 
     import spark.implicits._
     val all = results.toDF().orderBy("dataset", "folder", "file")

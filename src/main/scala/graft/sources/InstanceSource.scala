@@ -79,7 +79,7 @@ object InstanceSource {
       lines.tail
         .map(_.split(",", -1))
         .find(_(tsIdx) == file)
-        .map(_(setIdx))
+        .map(_(setIdx).stripPrefix("\"").stripSuffix("\"")) // CSV-quoted label
         .getOrElse(throw new NoSuchElementException(s"no label for $file in $dir"))
     } finally src.close()
   }

@@ -62,6 +62,37 @@ class RunnerSpec extends AnyFunSuite {
     assert(results.forall(_.tp == 1), results.toString)
   }
 
+  test("per-algorithm CLI flags reach the algorithm options") {
+    val refs = InstanceSource.instances(corpusRoot, "")
+    // adtributor with a teep high enough that no element passes -> no
+    // predictions (F1 0), proving the flag was honored, vs the default run
+    val strict = refs.map(r => Runner.runInstance(spark, corpusRoot, r, "adtributor",
+      derivedFlag = Some(false), opts = Map("teep" -> "0.99", "tep" -> "0.99")))
+    assert(strict.forall(_.tp == 0), strict.toString)
+    val dflt = refs.map(r => Runner.runInstance(spark, corpusRoot, r, "adtributor",
+      derivedFlag = Some(false)))
+    assert(dflt.exists(_.tp > 0))
+    // riskloc with an impossible risk threshold -> nothing accepted
+    val noRisk = refs.map(r => Runner.runInstance(spark, corpusRoot, r, "riskloc",
+      derivedFlag = Some(false), opts = Map("risk-threshold" -> "1000")))
+    assert(noRisk.forall(_.tp == 0), noRisk.toString)
+  }
+
+  test("--debug tracing emits per-round lines") {
+    val refs = InstanceSource.instances(corpusRoot, "")
+    val lines = collection.mutable.ArrayBuffer.empty[String]
+    Console.withErr(new java.io.PrintStream(new java.io.OutputStream {
+      val buf = new StringBuilder
+      override def write(b: Int): Unit = {
+        if (b == '\n') { lines += buf.toString; buf.clear() } else buf.append(b.toChar)
+      }
+    })) {
+      Runner.runInstance(spark, corpusRoot, refs.head, "squeeze",
+        derivedFlag = Some(false), opts = Map("debug" -> "true"))
+    }
+    assert(lines.exists(_.contains("KPIFILTER")), lines.take(5).toString)
+  }
+
   test("concurrent runAll matches sequential results") {
     val refs = InstanceSource.instances(corpusRoot, "")
     val sequential = refs.map(r =>
