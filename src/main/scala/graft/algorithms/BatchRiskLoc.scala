@@ -1,0 +1,372 @@
+package graft.algorithms
+
+import graft.functions.Scores
+import graft.model.{Element, RootCause}
+import graft.operators.Snapshots
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** RiskLoc over a UNION of many instance snapshots in ONE Spark DAG per
+  * remove-and-repeat iteration (SURVEY §3.1 / §4.2; the BatchAdtributor
+  * pattern extended to an iterative algorithm).
+  *
+  * Every aggregation is keyed by `instance_id`: per-instance EP totals,
+  * deviation cutoffs (two row_number windows over the distinct-deviation
+  * frame), EP-sign flips, candidate filters and the two risk passes all
+  * compute for the whole corpus at once. The only driver state is the
+  * per-instance prune sets and winner selection over collected
+  * per-candidate summaries (both bounded by candidates, not leaves).
+  *
+  * The remove-and-repeat loop advances ALL instances together: each
+  * global iteration localizes at most one cause per instance, removes
+  * found leaves with one instance-keyed anti-filter, and drops finished
+  * instances; the iteration count is max #causes over the corpus (small),
+  * so a 1000-file corpus costs ~(#iterations × jobs-per-iteration) Spark
+  * jobs instead of 1000 × that.
+  *
+  * Semantics per instance equal [[RiskLoc.run]] (pinned by
+  * BatchRiskLocSpec on the generated corpus). Prune visibility follows
+  * the reference: layer-1 cuboids see the iteration-start state, deeper
+  * cuboids see this iteration's additions (riskloc.py:89-117).
+  */
+object BatchRiskLoc {
+
+  private case class Winner(instance: String, cid: Int, key: Seq[String],
+      ep: Double, high: Double, low: Double, risk: Double)
+
+  /** Per-instance EP decoration (Snapshots.withExplanatoryPower with the
+    * 1-row broadcast totals becoming one totals row PER instance). */
+  private def withEp(df: DataFrame, inst: Column, opt: RiskLoc.Options): DataFrame =
+    if (opt.derived) {
+      val t1 = df.groupBy(inst.as("__i")).agg(
+        sum("predict_a").as("__tpa"), sum("predict_b").as("__tpb"))
+      val withRaw = df.join(broadcast(t1), inst === col("__i"))
+        .withColumn("ep", Scores.explanatoryPowerDerived(
+          col("real_a"), col("predict_a"), col("real_b"), col("predict_b"),
+          col("__tpa"), col("__tpb")))
+        .drop("__i", "__tpa", "__tpb")
+      val t2 = withRaw.groupBy(inst.as("__i")).agg(Scores.pandasSum(col("ep")).as("__tep"))
+      withRaw.join(broadcast(t2), inst === col("__i"))
+        .withColumn("ep", Scores.numpyDiv(col("ep"), col("__tep")))
+        .drop("__i", "__tep")
+    } else {
+      val t = df.groupBy(inst.as("__i")).agg(sum("real").as("__tr"), sum("predict").as("__tp"))
+      df.join(broadcast(t), inst === col("__i"))
+        .withColumn("ep", Scores.explanatoryPower(col("real"), col("predict"), col("__tr"), col("__tp")))
+        .drop("__i", "__tr", "__tp")
+    }
+
+  /** Per-instance deviation cutoffs (RiskLoc.cutoff batched): the n+1
+    * smallest/largest DISTINCT deviations per instance via two windows. */
+  private def cutoffs(df: DataFrame, instanceCol: String,
+      opt: RiskLoc.Options): Map[String, Double] = {
+    val inst = col(instanceCol)
+    val devs = df.select(inst.as("__i"), col("deviation")).distinct()
+    val counts: Map[String, Long] =
+      if (opt.removeRelative)
+        devs.groupBy("__i").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      else Map.empty
+    def nFor(i: String): Int =
+      if (opt.removeRelative) math.ceil(counts(i) * opt.nRemove / 100.0).toInt else opt.nRemove
+    val maxN = if (opt.removeRelative) counts.values.map(c => math.ceil(c * opt.nRemove / 100.0).toInt).max
+               else opt.nRemove
+    val ranked = devs
+      .withColumn("ra", row_number().over(Window.partitionBy("__i").orderBy(asc("deviation"))))
+      .withColumn("rd", row_number().over(Window.partitionBy("__i").orderBy(desc("deviation"))))
+      .filter(col("ra") <= maxN + 1 || col("rd") <= maxN + 1)
+      .collect()
+    ranked.groupBy(_.getString(0)).map { case (i, rows) =>
+      val n = nFor(i)
+      val smallest = rows.filter(_.getInt(2) <= n + 1).map(_.getDouble(1))
+      val largest = rows.filter(_.getInt(3) <= n + 1).map(_.getDouble(1))
+      val minVal = smallest.max
+      val maxVal = largest.min
+      // python min(a, b, key=abs): first wins ties
+      val t = if (math.abs(minVal) <= math.abs(maxVal)) minVal else maxVal
+      i -> -t
+    }
+  }
+
+  /** Small per-instance lookup joined in as a column (one row per
+    * instance — broadcast hash join, no shuffle of the leaf frame). */
+  private def lookupCol(df: DataFrame, instanceCol: String,
+      m: Map[String, Double], name: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.join(broadcast(m.toSeq.toDF("__i", name)), col(instanceCol) === col("__i")).drop("__i")
+  }
+
+  /** Batched RiskLoc.score: cutoff, partition, weight, EP sign, ep_z. */
+  private def scoreAll(df0: DataFrame, instanceCol: String,
+      opt: RiskLoc.Options): (DataFrame, Map[String, Double], DataFrame) = {
+    val inst = col(instanceCol)
+    val base = Snapshots.withDeviation(withEp(df0, inst, opt))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cut = cutoffs(base, instanceCol, opt)
+
+    var df = lookupCol(base, instanceCol, cut, "__cut")
+    val anomalyRight = col("__cut") > 0 || (col("__cut") === 0 && lit(1.0) / col("__cut") > 0)
+    df = df.withColumn("partition",
+      when(anomalyRight && col("deviation") > col("__cut"), 1)
+        .when(!anomalyRight && col("deviation") < col("__cut"), 1)
+        .otherwise(0))
+    val baseWeight = abs(col("__cut") - col("deviation"))
+    df = df.withColumn("weight",
+      least(
+        when(col("partition") === 1, abs(col("deviation")))
+          .when(col("real") === 0 && col("predict") === 0, 0.0)
+          .otherwise(baseWeight),
+        lit(1.0)))
+
+    val epSums = df.filter(col("partition") === 1)
+      .groupBy(inst.as("__i")).agg(Scores.pandasSum(col("ep")).as("__eps"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) 0.0 else r.getDouble(1))).toMap
+    val flip = cut.keys.map(i => i -> (epSums.getOrElse(i, 0.0) < 0)).toMap
+    val adjThreshold = cut.keys.map(i =>
+      i -> math.abs(epSums.getOrElse(i, 0.0)) * opt.pepThreshold).toMap
+
+    df = lookupCol(df, instanceCol,
+      flip.map { case (i, f) => i -> (if (f) -1.0 else 1.0) }, "__sign")
+      .withColumn("ep", col("ep") * col("__sign"))
+      .withColumn("ep_z", when(col("ep") > 0, col("ep")).otherwise(0.0))
+      .drop("__cut", "__sign")
+    (df, adjThreshold, base)
+  }
+
+  private type PruneState = Map[String, Seq[String]] // attr -> pruned values
+
+  private def pruneFlags(exploded: DataFrame, instanceCol: String, attributes: Seq[String],
+      states: Map[String, PruneState]): DataFrame = {
+    // (instance, attr, value) prune table; per-attribute broadcast lookups
+    val spark = exploded.sparkSession
+    import spark.implicits._
+    val rows = for {
+      (i, st) <- states.toSeq
+      (a, vs) <- st.toSeq
+      v <- vs
+    } yield (i, a, v)
+    if (rows.isEmpty)
+      return attributes.foldLeft(exploded)((d, a) => d.withColumn(s"__pr_$a", lit(false)))
+    val pruneDf = rows.toDF("__pi", "__pa", "__pv")
+    attributes.foldLeft(exploded) { (d, a) =>
+      d.join(broadcast(pruneDf.filter(col("__pa") === a).select(col("__pi"), col("__pv"))),
+          col(instanceCol) === col("__pi") && col(a) === col("__pv"), "left")
+        .withColumn(s"__pr_$a", col("__pv").isNotNull)
+        .drop("__pi", "__pv")
+    }
+  }
+
+  /** Multi-cuboid expand with per-instance prune flags. */
+  private def expand(df: DataFrame, instanceCol: String, attributes: Seq[String],
+      cuboids: Seq[(Seq[String], Int)], states: Map[String, PruneState]): DataFrame = {
+    val flagged = pruneFlags(df, instanceCol, attributes, states)
+    val structs = cuboids.map { case (c, i) =>
+      val keep = c.map(a => !col(s"__pr_$a")).reduce(_ && _)
+      when(keep, struct(lit(i).as("cid"), array(c.map(col): _*).as("key"))).otherwise(lit(null))
+    }
+    flagged.withColumn("cb", explode(array(structs: _*))).filter(col("cb").isNotNull)
+      .drop(attributes.map(a => s"__pr_$a"): _*)
+  }
+
+  /** Batched risk passes keyed by (instance, cid, key); winner selection
+    * per (instance, cuboid) on the driver (RiskLoc.riskWinners shape). */
+  private def riskWinners(exploded: DataFrame, instanceCol: String,
+      candKeys: DataFrame, opt: RiskLoc.Options): Map[(String, Int), Winner] = {
+    val nz = col("real") =!= 0 && col("predict") =!= 0
+    val inst = col(instanceCol)
+    val stats1 = exploded
+      .join(broadcast(candKeys.select(col("inst").as("ji"), col("cid").as("jcid"), col("key").as("jkey"))),
+        inst === col("ji") && col("cb.cid") === col("jcid") && col("cb.key") === col("jkey"))
+      .groupBy(col("ji").as("inst"), col("jcid").as("cid"), col("jkey").as("key"))
+      .agg(
+        sum(when(col("partition") === 1, col("weight")).otherwise(0.0)).as("wa"),
+        sum(when(col("partition") === 0, col("weight")).otherwise(0.0)).as("wn"),
+        sum(when(nz, col("real")).otherwise(0.0)).as("sreal"),
+        sum(when(nz, col("predict")).otherwise(0.0)).as("spred"),
+        avg(when(nz, abs(col("deviation")))).as("w2"),
+        count(when(nz, lit(1))).as("n_nz"))
+
+    val ratios = stats1.select(col("inst").as("ri"), col("cid").as("rcid"), col("key").as("rkey"),
+      when(col("spred") =!= 0, col("sreal") / col("spred")).otherwise(0.0).as("ratio"))
+    val stats2 = exploded
+      .join(broadcast(ratios),
+        inst === col("ri") && col("cb.cid") === col("rcid") && col("cb.key") === col("rkey"))
+      .filter(nz)
+      .withColumn("a", col("predict") * col("ratio"))
+      .withColumn("d",
+        when(col("a") + col("real") === 0, 0.0)
+          .otherwise(lit(2.0) * (col("a") - col("real")) / (col("a") + col("real"))))
+      .groupBy(col("ri").as("inst"), col("rcid").as("cid"), col("rkey").as("key"))
+      .agg(avg(abs(col("d"))).as("w1"))
+
+    val collected = candKeys.withColumnRenamed("inst", "inst")
+      .join(stats1, Seq("inst", "cid", "key"))
+      .join(stats2, Seq("inst", "cid", "key"), "left")
+      .collect()
+
+    collected.groupBy(r => (r.getString(0), r.getInt(1))).flatMap { case ((i, cid), rows) =>
+      val ordered = rows.sortBy(r => (-r.getDouble(3), r.getSeq[String](2).mkString("\u0000")))
+      ordered.iterator.map { r =>
+        val ep = r.getDouble(3)
+        val wa = r.getDouble(4); val wn = r.getDouble(5)
+        val high = wa / (wa + wn + 1.0)
+        val w2 = if (r.isNullAt(8)) 0.0 else r.getDouble(8)
+        val nNz = r.getLong(9)
+        val w1 = if (!r.isNullAt(10)) r.getDouble(10) else 0.0
+        val low = if (nNz > 0 && w2 != 0.0) w1 / w2 else 0.0
+        Winner(i, cid, r.getSeq[String](2), ep, high, low, high - low)
+      }.find(_.risk >= opt.riskThreshold).map((i, cid) -> _)
+    }
+  }
+
+  /** One remove-and-repeat iteration for EVERY active instance. Returns
+    * the found cause per instance (instances without one are done). */
+  private def searchAll(df: DataFrame, instanceCol: String, attributes: Seq[String],
+      adjThreshold: Map[String, Double],
+      pruned: collection.mutable.Map[String, collection.mutable.Map[String, collection.mutable.ArrayBuffer[String]]],
+      opt: RiskLoc.Options): Map[String, RootCause] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val inst = col(instanceCol)
+    val nAttrs = attributes.size
+    def snapshot(i: String): PruneState =
+      pruned.getOrElse(i, collection.mutable.Map.empty)
+        .iterator.map { case (k, v) => k -> v.toSeq }.toMap
+    val usePrune = opt.pruneElements
+    val instances = adjThreshold.keySet
+    val statesOld: Map[String, PruneState] =
+      if (usePrune) instances.iterator.map(i => i -> snapshot(i)).toMap else Map.empty
+
+    // ---- stage 1: layer 1 for all instances
+    val layer1 = attributes.map(Seq(_)).zipWithIndex
+    val exploded1 = expand(df, instanceCol, attributes, layer1, statesOld)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val epsA = exploded1
+      .groupBy(inst.as("inst"), col("cb.cid").as("cid"), col("cb.key").as("key"))
+      .agg(Scores.pandasSum(col("ep")).as("ep"),
+        sum("ep_z").as("ep_z"), sum("partition").as("part_sum"))
+      .collect()
+
+    if (usePrune) {
+      epsA.foreach { r =>
+        val i = r.getString(0)
+        if (r.getDouble(4) < adjThreshold(i) || r.getLong(5) == 0)
+          pruned.getOrElseUpdate(i, collection.mutable.Map.empty)
+            .getOrElseUpdate(attributes(r.getInt(1)), collection.mutable.ArrayBuffer.empty) +=
+            r.getSeq[String](2).head
+      }
+    }
+    val statesNew: Map[String, PruneState] =
+      if (usePrune) instances.iterator.map(i => i -> snapshot(i)).toMap else Map.empty
+
+    val candL1 = epsA.toSeq
+      .filter(r => r.getLong(5) > 0 && r.getDouble(3) > adjThreshold(r.getString(0)))
+      .map(r => (r.getString(0), r.getInt(1), r.getSeq[String](2), r.getDouble(3)))
+      .groupBy(r => (r._1, r._2)).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(-_._4).take(opt.maxCandidatesPerCuboid)
+      }
+
+    val winners1: Map[String, Winner] =
+      if (candL1.isEmpty) Map.empty
+      else riskWinners(exploded1, instanceCol,
+        candL1.toDF("inst", "cid", "key", "ep"), opt)
+        .values.toSeq.groupBy(_.instance)
+        .map { case (i, ws) => i -> ws.sortBy(w => (-w.ep, w.cid)).head }
+    exploded1.unpersist()
+
+    val found = collection.mutable.Map.empty[String, RootCause]
+    winners1.foreach { case (i, w) =>
+      val cuboid = Seq(attributes(w.cid))
+      found(i) = RootCause(Seq(Element(cuboid, w.key)), cuboid, 1,
+        Map("ep" -> w.ep, "high_risk" -> w.high, "low_risk" -> w.low, "risk" -> w.risk))
+    }
+    if (nAttrs == 1) return found.toMap
+
+    // ---- stage 2: deeper layers, only for instances without a layer-1 win
+    val deepInstances = instances -- found.keySet
+    if (deepInstances.isEmpty) return found.toMap
+    val deep = (2 to nAttrs).flatMap(l => attributes.combinations(l).toSeq)
+      .zipWithIndex.map { case (c, i) => (c, i + nAttrs) }
+    val deepCuboids = deep.map(_._1)
+    def layerOf(cid: Int): Int = deepCuboids(cid - nAttrs).size
+
+    val dfDeep = df.filter(inst.isin(deepInstances.toSeq: _*))
+    val exploded2 = expand(dfDeep, instanceCol, attributes, deep, statesNew)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val thresholdDf = broadcast(adjThreshold.toSeq.toDF("__ti", "__thr"))
+    val candsDeep = exploded2
+      .groupBy(inst.as("inst"), col("cb.cid").as("cid"), col("cb.key").as("key"))
+      .agg(Scores.pandasSum(col("ep")).as("ep"), sum("partition").as("part_sum"))
+      .join(thresholdDf, col("inst") === col("__ti"))
+      .filter(col("part_sum") > 0 && col("ep") > col("__thr"))
+      .select("inst", "cid", "key", "ep")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("inst", "cid").orderBy(desc("ep"))))
+      .filter(col("rn") <= opt.maxCandidatesPerCuboid)
+      .drop("rn")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val winners2 = riskWinners(exploded2, instanceCol, candsDeep, opt)
+    exploded2.unpersist(); candsDeep.unpersist()
+
+    winners2.values.toSeq.groupBy(_.instance).foreach { case (i, ws) =>
+      (2 to nAttrs).iterator
+        .map(layer => ws.filter(w => layerOf(w.cid) == layer)
+          .sortBy(w => (-w.ep, w.cid)).headOption)
+        .collectFirst { case Some(w) => w }
+        .foreach { w =>
+          val cuboid = deepCuboids(w.cid - nAttrs)
+          found(i) = RootCause(Seq(Element(cuboid, w.key)), cuboid, cuboid.size,
+            Map("ep" -> w.ep, "high_risk" -> w.high, "low_risk" -> w.low, "risk" -> w.risk))
+        }
+    }
+    found.toMap
+  }
+
+  /** Whole-corpus RiskLoc: one instance-keyed DAG per global iteration.
+    * Input must carry `instanceCol`; returns causes per instance. */
+  def run(df0: DataFrame, instanceCol: String, attributes: Seq[String],
+      opt: RiskLoc.Options = RiskLoc.Options()): Map[String, Seq[RootCause]] = {
+    val inst = col(instanceCol)
+    val (scored0, adjThreshold0, base) = scoreAll(df0, instanceCol, opt)
+    var df = scored0.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    base.unpersist()
+
+    val pruned = collection.mutable.Map
+      .empty[String, collection.mutable.Map[String, collection.mutable.ArrayBuffer[String]]]
+    val results = collection.mutable.Map.empty[String, collection.mutable.ArrayBuffer[RootCause]]
+    var active: Set[String] = adjThreshold0.keySet
+
+    while (active.nonEmpty) {
+      // per-instance anomalous EP mass: instances below threshold finish
+      val eps = df.filter(col("partition") === 1 && inst.isin(active.toSeq: _*))
+        .groupBy(inst.as("__i")).agg(Scores.pandasSum(col("ep")).as("__eps"))
+        .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) 0.0 else r.getDouble(1))).toMap
+      active = active.filter(i => eps.getOrElse(i, 0.0) >= adjThreshold0(i))
+      if (active.nonEmpty) {
+        val thresholds = adjThreshold0.filter { case (i, _) => active.contains(i) }
+        val found = searchAll(df.filter(inst.isin(active.toSeq: _*)), instanceCol,
+          attributes, thresholds, pruned, opt)
+        active = found.keySet
+        if (found.nonEmpty) {
+          found.foreach { case (i, rc) =>
+            results.getOrElseUpdate(i, collection.mutable.ArrayBuffer.empty) += rc
+          }
+          // remove every found cause's leaves with one instance-keyed filter
+          val removeCond = found.map { case (i, rc) =>
+            inst === i && rc.cuboid.zip(rc.elements.head.pairs.map(_._2))
+              .map { case (a, v) => col(a) === v }.reduce(_ && _)
+          }.reduce(_ || _)
+          val next = df.filter(!removeCond).localCheckpoint(true)
+          df.unpersist()
+          df = next
+        }
+      }
+    }
+    df.unpersist()
+    results.map { case (k, v) => k -> v.toSeq }.toMap
+  }
+}
