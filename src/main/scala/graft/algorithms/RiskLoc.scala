@@ -28,7 +28,10 @@ object RiskLoc {
       removeRelative: Boolean = false,
       derived: Boolean = false,
       pruneElements: Boolean = true,
-      maxCandidatesPerCuboid: Int = 10000)
+      maxCandidatesPerCuboid: Int = 10000,
+      /** Per-layer/cuboid/candidate score tracing (the reference's
+        * `debug=True` prints, riskloc.py:101-145). */
+      trace: String => Unit = _ => ())
 
   private case class Candidate(cid: Int, key: Seq[String], ep: Double,
       wa: Double, wn: Double, sreal: Double, spred: Double, w2: Double, nNz: Long)
@@ -112,7 +115,7 @@ object RiskLoc {
     * per-cuboid EP-desc scan on the driver: each cuboid's winner is its
     * first risk-passing candidate (riskloc.py:120-159). */
   private def riskWinners(exploded: DataFrame, candKeys: DataFrame,
-      opt: Options): Map[Int, Winner] = {
+      opt: Options, cuboidOf: Int => Seq[String] = _ => Seq.empty): Map[Int, Winner] = {
     val nz = col("real") =!= 0 && col("predict") =!= 0
 
     // Pass 1: selection-level sums per candidate.
@@ -148,6 +151,7 @@ object RiskLoc {
       .collect()
 
     collected.groupBy(_.getInt(0)).flatMap { case (cid, rows) =>
+      opt.trace(s"Cuboid: ${cuboidOf(cid).mkString("[", ", ", "]")}")
       val ordered = rows.sortBy(r => (-r.getDouble(2), r.getSeq[String](1).mkString("\u0000")))
       ordered.iterator.map { r =>
         val ep = r.getDouble(2)
@@ -157,7 +161,10 @@ object RiskLoc {
         val nNz = r.getLong(8)
         val w1 = if (!r.isNullAt(9)) r.getDouble(9) else 0.0
         val low = if (nNz > 0 && w2 != 0.0) w1 / w2 else 0.0
-        Winner(cid, r.getSeq[String](1), ep, high, low, high - low)
+        val w = Winner(cid, r.getSeq[String](1), ep, high, low, high - low)
+        opt.trace(s"element ${w.key.mkString("(", ", ", ")")} ep score ${w.ep} " +
+          s"high ${w.high} low ${w.low} risk ${w.risk}")
+        w
       }.find(_.risk >= opt.riskThreshold).map(cid -> _)
     }
   }
@@ -194,6 +201,7 @@ object RiskLoc {
     val prunedOld: PruneState = if (usePrune) snapshotState else Map.empty
 
     // ---- stage 1: layer 1
+    opt.trace("Layer: 1")
     val layer1 = attributes.map(Seq(_)).zipWithIndex
     val exploded1 = expandCuboids(df, layer1, _ => prunedOld)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -223,7 +231,8 @@ object RiskLoc {
 
     val winner1 =
       if (candL1.isEmpty) None
-      else riskWinners(exploded1, candL1.toDF("cid", "key", "ep"), opt)
+      else riskWinners(exploded1, candL1.toDF("cid", "key", "ep"), opt,
+          cid => Seq(attributes(cid)))
         .values.toSeq.sortBy(w => (-w.ep, w.cid)).headOption
     exploded1.unpersist()
     winner1 match {
@@ -236,6 +245,7 @@ object RiskLoc {
     if (nAttrs == 1) return None
 
     // ---- stage 2: every deeper layer in one pass
+    opt.trace(s"Layers 2-$nAttrs (single batched pass)")
     val deep = (2 to nAttrs).flatMap(l => attributes.combinations(l).toSeq)
       .zipWithIndex.map { case (c, i) => (c, i + nAttrs) }
     val deepCuboids = deep.map(_._1)
@@ -254,7 +264,7 @@ object RiskLoc {
       .drop("rn")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val winners = riskWinners(exploded2, candsDeep, opt)
+    val winners = riskWinners(exploded2, candsDeep, opt, cid => deepCuboids(cid - nAttrs))
     exploded2.unpersist(); candsDeep.unpersist()
 
     (2 to nAttrs).iterator
@@ -284,12 +294,15 @@ object RiskLoc {
       val epSumRow = df.filter(col("partition") === 1)
         .agg(graft.functions.Scores.pandasSum(col("ep"))).collect()(0)
       val anomalyEpSum = if (epSumRow.isNullAt(0)) 0.0 else epSumRow.getDouble(0)
+      opt.trace(s"Iteration ${rootCauses.size + 1}: anomalous ep sum $anomalyEpSum " +
+        s"threshold $adjEpThreshold")
       if (anomalyEpSum < adjEpThreshold) continue = false
       else {
         val found = searchAnomaly(df, attributes, adjEpThreshold, pruned, usePrune, opt)
         found match {
           case None => continue = false
           case Some(rc) =>
+            opt.trace(s"New best score: ${rc.labels.mkString(";")} risk ${rc.scores("risk")}")
             rootCauses += rc
             val mask = rc.cuboid.zip(rc.elements.head.pairs.map(_._2))
               .map { case (a, v) => col(a) === v }.reduce(_ && _)

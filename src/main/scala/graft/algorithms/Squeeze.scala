@@ -39,7 +39,7 @@ object Squeeze {
 
   /** Squeeze's own leaf deviation: (f-v)/(f+v), NaN -> 0
     * (squeeze.py:354-364; note: no factor 2). */
-  private val deviationCol: Column =
+  private[algorithms] val deviationCol: Column =
     when(col("predict") + col("real") === 0.0, 0.0)
       .otherwise((col("predict") - col("real")) / (col("predict") + col("real")))
 
@@ -110,7 +110,7 @@ object Squeeze {
     lo
   }
 
-  private def divideGuard(x: Double, y: Double): Double =
+  private[algorithms] def divideGuard(x: Double, y: Double): Double =
     if (y > 0) x / y else if (x == 0) 0.0 else Double.PositiveInfinity
 
   def run(df0: DataFrame, attributes: Seq[String], opt: Options = Options()): Seq[String] = {
@@ -194,29 +194,30 @@ object Squeeze {
     }.collect { case Some(rc) => rc }
 
     df.unpersist(); base.unpersist()
-    // unique element-sets -> canonical strings (squeeze.py:65-70). The
-    // reference joins each root cause's elements in frozenset(ret)
-    // ITERATION order (AC.batch_to_string) — CPython hash-table order of
-    // the AC tuple hashes, replicated via PyHash/PySet. The ';' order is
-    // observable: evaluation only '&'-sorts within elements, so a
-    // compound string keeps this order.
-    def frozensetOrder(elems: Seq[Element]): Seq[Element] = {
-      // AC.__hash__ hashes the FULL sorted-key id including the
-      // ('attr', '__ANY__') pairs of unset attributes
-      // (attribute_combination.py:20-35)
-      val sortedAttrs = attributes.sorted
-      val acHash: Element => Long = { e =>
-        val m = e.pairs.toMap
-        graft.kernels.PyHash.tupleHash(sortedAttrs.map { k =>
-          val v = m.getOrElse(k, "__ANY__")
-          graft.kernels.PyHash.tupleHash(Seq(
-            graft.kernels.PyHash.strHash(k), graft.kernels.PyHash.strHash(v)))
-        })
-      }
-      graft.kernels.PyHash.PySet.of(elems, acHash).toList
-    }
     Labels.canonicalPredictions(
-      rootCauses.map(rc => frozensetOrder(rc).map(_.label).mkString(";")).distinct)
+      rootCauses.map(rc => frozensetOrder(attributes, rc).map(_.label).mkString(";")).distinct)
+  }
+
+  /** Unique element-sets -> canonical strings (squeeze.py:65-70). The
+    * reference joins each root cause's elements in frozenset(ret)
+    * ITERATION order (AC.batch_to_string) — CPython hash-table order of
+    * the AC tuple hashes, replicated via PyHash/PySet. The ';' order is
+    * observable: evaluation only '&'-sorts within elements, so a
+    * compound string keeps this order. */
+  private[algorithms] def frozensetOrder(attributes: Seq[String], elems: Seq[Element]): Seq[Element] = {
+    // AC.__hash__ hashes the FULL sorted-key id including the
+    // ('attr', '__ANY__') pairs of unset attributes
+    // (attribute_combination.py:20-35)
+    val sortedAttrs = attributes.sorted
+    val acHash: Element => Long = { e =>
+      val m = e.pairs.toMap
+      graft.kernels.PyHash.tupleHash(sortedAttrs.map { k =>
+        val v = m.getOrElse(k, "__ANY__")
+        graft.kernels.PyHash.tupleHash(Seq(
+          graft.kernels.PyHash.strHash(k), graft.kernels.PyHash.strHash(v)))
+      })
+    }
+    graft.kernels.PyHash.PySet.of(elems, acHash).toList
   }
 
   /** One cluster's search (squeeze.py:241-275). Returns the root cause as

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.algorithms.{Adtributor, AutoRoot, HotSpot, RevRecAdtributor, RiskLoc, RobustSpot, Squeeze}
+import graft.algorithms.{Adtributor, AutoRoot, BatchRiskLoc, BatchSqueeze, HotSpot, RevRecAdtributor, RiskLoc, RobustSpot, Squeeze}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -30,6 +30,23 @@ object AlgorithmQueries {
       .persist()
 
   private val attrs = Seq("brand", "ls", "rf")
+
+  /** A small synthetic corpus: the same harness snapshot with a DIFFERENT
+    * injected anomaly per instance, unioned under an instance_id key —
+    * the input shape of the whole-corpus Batch* algorithms. */
+  def anomalousCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = ScoreQueries.snapshot(s, dir)
+    val instances = Seq(
+      ("i1", "Brand#19", "R"), ("i2", "Brand#25", "A"), ("i3", "Brand#31", "N"))
+    instances.map { case (id, brand, rf) =>
+      base.select(lit(id).as("instance_id"), col("rf"), col("ls"), col("brand"),
+        (col("vreal") * when(col("brand") === brand && col("rf") === rf, 2.0)
+          .otherwise(1.0)).as("real"),
+        (col("vreal") * (lit(1.0) +
+          (pmod(hash(col("rf"), col("ls"), col("brand")), lit(1000)) / 1000.0 - 0.5) * 0.05))
+          .as("predict"))
+    }.reduce(_ unionByName _).persist()
+  }
 
   val defs: Seq[GateQuery] = Seq(
 
@@ -92,6 +109,24 @@ object AlgorithmQueries {
         RobustSpot.run(anomalousSnapshot(s, dir), attrs,
           RobustSpot.Options(k = 3, derived = false)))
       preds.toDF("root_cause").orderBy("root_cause")
+    },
+
+    GateQuery.rowsOnly("q47_batch_riskloc") { (s, dir) =>
+      import s.implicits._
+      val found = BatchRiskLoc.run(anomalousCorpus(s, dir), "instance_id", attrs)
+      found.toSeq.flatMap { case (inst, rcs) =>
+        rcs.map(rc => (inst, rc.labels.mkString(";"),
+          math.floor(rc.scores("risk") * 1e6) / 1e6))
+      }.toDF("instance_id", "root_cause", "risk")
+        .orderBy("instance_id", "root_cause")
+    },
+
+    GateQuery.rowsOnly("q48_batch_squeeze") { (s, dir) =>
+      import s.implicits._
+      val found = BatchSqueeze.run(anomalousCorpus(s, dir), "instance_id", attrs)
+      found.toSeq.flatMap { case (inst, preds) => preds.map(inst -> _) }
+        .toDF("instance_id", "root_cause")
+        .orderBy("instance_id", "root_cause")
     },
   )
 }

@@ -74,7 +74,7 @@ object Runner {
           nRemove = i("n-remove", 5),
           removeRelative = b("remove-relative", dflt = false),
           pruneElements = b("prune-elements", dflt = true),
-          derived = derived)))
+          derived = derived, trace = trace)))
       case "adtributor" =>
         Adtributor.predictions(Adtributor.run(df, attributes, Adtributor.Options(
           tep = d("tep", 0.1), teep = d("teep", 0.1), k = i("k", 3), derived = derived)))
