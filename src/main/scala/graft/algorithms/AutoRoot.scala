@@ -38,7 +38,7 @@ object AutoRoot {
 
   /** n-row NPS statistics terms (autoroot.py:17-27): term_b = |real -
     * predict| / real with 0/inf/nan -> 0. */
-  private val termB: Column =
+  private[algorithms] val termB: Column =
     when(col("real") === 0, 0.0).otherwise(abs(col("real") - col("predict")) / col("real"))
 
   def run(df0: DataFrame, attributes: Seq[String], opt: Options = Options()): Seq[RootCause] = {

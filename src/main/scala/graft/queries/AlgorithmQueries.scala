@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.algorithms.{Adtributor, AutoRoot, BatchRiskLoc, BatchSqueeze, HotSpot, RevRecAdtributor, RiskLoc, RobustSpot, Squeeze}
+import graft.algorithms.{Adtributor, AutoRoot, BatchAutoRoot, BatchRiskLoc, BatchSqueeze, HotSpot, RevRecAdtributor, RiskLoc, RobustSpot, Squeeze}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -126,6 +126,17 @@ object AlgorithmQueries {
       val found = BatchSqueeze.run(anomalousCorpus(s, dir), "instance_id", attrs)
       found.toSeq.flatMap { case (inst, preds) => preds.map(inst -> _) }
         .toDF("instance_id", "root_cause")
+        .orderBy("instance_id", "root_cause")
+    },
+
+    GateQuery.rowsOnly("q49_batch_autoroot") { (s, dir) =>
+      import s.implicits._
+      val found = BatchAutoRoot.run(anomalousCorpus(s, dir), "instance_id", attrs,
+        AutoRoot.Options(deltaThreshold = 0.1))
+      found.toSeq.flatMap { case (inst, rcs) =>
+        rcs.map(rc => (inst, rc.labels.mkString(";"),
+          math.floor(rc.scores("avg") * 1e6) / 1e6))
+      }.toDF("instance_id", "root_cause", "avg_score")
         .orderBy("instance_id", "root_cause")
     },
   )
