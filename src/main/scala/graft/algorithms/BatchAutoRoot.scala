@@ -76,12 +76,20 @@ object BatchAutoRoot {
     val sizeDf = broadcast(clusterSizes.toSeq.map { case ((i, k), z) => (i, k, z) }
       .toDF("__zi", "__zk", "__z"))
 
+    // instances with no anomalous rows (no boundaries entry) have
+    // cluster=null on every row and can produce no candidates — drop
+    // them before the per-layer expand so their rows are never shuffled
+    // (the BatchSqueeze active left_semi pattern)
+    val expandBase = withCluster.join(
+      broadcast(boundaries.keys.toSeq.toDF(instanceCol)), Seq(instanceCol), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
     // best candidate per (instance, cluster), across layers by avg score
     val best = collection.mutable.Map.empty[(String, Int), (Double, RootCause)]
 
     for (layer <- 1 to attributes.size) {
       val cuboids = attributes.combinations(layer).toSeq
-      val exploded = Cuboids.expand(withCluster, cuboids)
+      val exploded = Cuboids.expand(expandBase, cuboids)
         .persist(StorageLevel.MEMORY_AND_DISK)
 
       // y per (instance, element); x per (instance, element, cluster) —
@@ -186,7 +194,7 @@ object BatchAutoRoot {
       counts.unpersist(); exploded.unpersist()
     }
 
-    withCluster.unpersist(); df.unpersist()
+    expandBase.unpersist(); withCluster.unpersist(); df.unpersist()
     val merged = best.toSeq
       .groupBy(_._1._1)
       .map { case (i, entries) =>

@@ -71,7 +71,11 @@ object BatchSqueeze {
 
     // per-instance (deviation, |v-f|) vectors from ONE aggregation (the
     // two collect_vector buffers of a group stay row-aligned); sorted on
-    // the driver for a deterministic order
+    // the driver for a deterministic order. NOTE: this materializes every
+    // instance's full distribution on the driver at once — at extreme
+    // per-instance row counts, swap in a per-instance reservoir sample
+    // here (the knee/KDE statistics are distribution estimates and
+    // tolerate sampling), as Squeeze/AutoRoot's scaladoc prescribes.
     val vecRows = df.groupBy(inst.as("__i")).agg(
       graft.functions.VectorAgg.collectVector(col("deviation")).as("devs"),
       graft.functions.VectorAgg.collectVector(abs(col("real") - col("predict"))).as("metrics"))
@@ -226,6 +230,10 @@ object BatchSqueeze {
         val rankDf = rankRows.toDF("ri", "rcl", "rcid", "rkey", "rank")
         val ratioDf = ratioRows.toDF("ti", "tcl", "tcid", "ratios")
 
+        val aggs: Seq[Column] = (1 to maxP).map(p =>
+          sum(when(col("rank") <= p,
+            abs(col("real") - col("predict") * element_at(col("ratios"), p)))
+            .otherwise(0.0)).as(s"l1a_$p"))
         exploded
           .filter(col("__ins"))
           .join(broadcast(rankDf),
@@ -234,15 +242,7 @@ object BatchSqueeze {
           .join(broadcast(ratioDf),
             col("ri") === col("ti") && col("rcl") === col("tcl") && col("rcid") === col("tcid"))
           .groupBy(col("ri"), col("rcl"), col("rcid"))
-          .agg(
-            (1 to maxP).map(p =>
-              sum(when(col("rank") <= p,
-                abs(col("real") - col("predict") * element_at(col("ratios"), p)))
-                .otherwise(0.0)).as(s"l1a_$p")).head,
-            (1 to maxP).map(p =>
-              sum(when(col("rank") <= p,
-                abs(col("real") - col("predict") * element_at(col("ratios"), p)))
-                .otherwise(0.0)).as(s"l1a_$p")).tail: _*)
+          .agg(aggs.head, aggs.tail: _*)
           .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)) -> r).toMap
       } else Map.empty
 

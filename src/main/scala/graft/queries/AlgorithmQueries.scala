@@ -33,7 +33,11 @@ object AlgorithmQueries {
 
   /** A small synthetic corpus: the same harness snapshot with a DIFFERENT
     * injected anomaly per instance, unioned under an instance_id key —
-    * the input shape of the whole-corpus Batch* algorithms. */
+    * the input shape of the whole-corpus Batch* algorithms.
+    * Persisted without an explicit unpersist, like [[anomalousSnapshot]]:
+    * q47-q49 each build this identical logical plan, and Spark's cache
+    * manager dedupes by plan, so all three batch gate queries share one
+    * materialization for the life of the session. */
   def anomalousCorpus(s: SparkSession, dir: String): DataFrame = {
     val base = ScoreQueries.snapshot(s, dir)
     val instances = Seq(
