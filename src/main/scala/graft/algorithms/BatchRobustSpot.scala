@@ -1,0 +1,322 @@
+package graft.algorithms
+
+import graft.algorithms.RobustSpot._
+import graft.functions.VectorAgg
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** RobustSpot over a UNION of many instance snapshots, batched into one
+  * Spark DAG per drill-down round (the BatchRiskLoc/BatchSqueeze pattern
+  * applied to RobustSpot's screen-expand-mine shape).
+  *
+  * The sequential path (RobustSpot.run) spends ~4 driver-coordinated
+  * actions per round per instance — ~30 jobs for one snapshot, ~4000 for
+  * the reference's 135-case RS corpus. Here every per-instance aggregate
+  * is keyed by the instance column instead:
+  *  - the six ID/CA global sums: ONE `groupBy(instance)` pass, joined
+  *    back as broadcast scalar columns (`idColFrom`/`caColFrom` — the
+  *    same IEEE-754 expressions as the `lit`-based sequential path);
+  *  - the Kneedle knee input: ONE `collect_vector`-per-instance pass
+  *    (primitive buffers, never boxed Rows);
+  *  - the weighted per-attribute modes: ONE (instance, attr, value)
+  *    aggregation over an attr/value explode;
+  *  - every itemset/rule support: ONE (instance, bitmask) histogram pass
+  *    (the mask compares each attribute to the instance's mode via a
+  *    broadcast map column);
+  *  - the final merge/collapse/rank support counts: TWO passes over the
+  *    persisted round-0 frame against a broadcast (instance, cause)
+  *    table.
+  * Total: ~4 jobs x 7 rounds + 2, for the WHOLE corpus.
+  *
+  * Parity mode: when the input carries a `__row` column (per-instance CSV
+  * row order), the global sums reduce with the exact NumpySum port over
+  * row-ordered vectors and the knee input replays the reference's
+  * Timsort-with-NaNs scramble (PyListSort) — bit-for-bit the sequential
+  * parity path, so the RS corpus golden holds case-by-case. NOTE: parity
+  * mode collects each instance's full measure vectors to the driver at
+  * once (O(corpus rows) doubles); at extreme scale run the scale path
+  * (no `__row`) whose only per-instance driver vector is the positive-ID
+  * knee input, bounded by `Options.idSampleFraction`.
+  *
+  * Instances may carry different attribute SETS only via separate calls
+  * (the attribute list is positional in the mining bitmask); group a
+  * heterogeneous corpus by its attribute sequence first (see
+  * RsSweep.batched).
+  */
+object BatchRobustSpot {
+
+  /** Whole-corpus RobustSpot: instance id -> ranked root-cause entries,
+    * per-instance equal to [[RobustSpot.run]] (BatchRobustSpotSpec). */
+  def run(df0: DataFrame, instanceCol: String, attributes: Seq[String],
+      opt: Options = Options()): Map[String, Seq[Seq[Cause]]] = {
+    val spark = df0.sparkSession
+    import spark.implicits._
+    val inst = col(instanceCol)
+    val effOpt = if (opt.derived) opt else opt.copy(caThreshold = -1.0)
+    val parity = df0.columns.contains("__row")
+
+    val allInstances: Seq[String] =
+      df0.select(inst.cast("string")).distinct().collect().map(_.getString(0)).toSeq
+    val empty: Map[String, Seq[Seq[Cause]]] =
+      allInstances.map(_ -> Seq.empty[Seq[Cause]]).toMap
+
+    val adapted = (if (opt.derived) adaptDerived(df0) else adaptFundamental(df0))
+      .withColumn(instanceCol, inst.cast("string"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    def traceFor(i: String): Options =
+      effOpt.copy(trace = s => effOpt.trace(s"[$i] $s"))
+
+    /** row matches a cause encoded as map(attr -> value): every entry equal. */
+    def matchesCause(m: Column): Column =
+      m.isNotNull && attributes.map(a =>
+        !map_contains_key(m, lit(a)) || col(a) === element_at(m, lit(a))).reduce(_ && _)
+
+    /** One batched select-expand-mine round over `frame` (already filtered
+      * to the round's active instances and dropped causes). Returns the
+      * per-instance top-5 causes, the flagged frame (persisted — caller
+      * unpersists), and the per-instance (nBefore, nAfter) totals. */
+    def roundPass(round: Int, frame: DataFrame)
+        : (Map[String, Seq[Cause]], DataFrame, Map[String, (Double, Double)]) = {
+      // --- global sums per instance (ID_CA.py:5-9,29-39)
+      val sums: Map[String, Sums] =
+        if (parity) {
+          // NumpySum over CSV-row-ordered vectors; coalesce keeps NaN rows
+          // in the buffers so the vectors stay row-aligned
+          val cols = Seq("k_predict", "k_real", "value_predict", "value_real",
+            "cnt_predict", "cnt_real")
+          val aggs = VectorAgg.collectVector(col("__row").cast("double")).as("rowv") +:
+            cols.map(c => VectorAgg.collectVector(
+              coalesce(col(c), lit(Double.NaN))).as(s"v_$c"))
+          frame.groupBy(inst.as("__i")).agg(aggs.head, aggs.tail: _*).collect().map { r =>
+            val order = graft.kernels.NumpyArgsort.argsort(
+              r.getSeq[Double](1).toArray).toArray
+            def s(i: Int) = graft.kernels.NumpySum.nanSum(
+              order.map(r.getSeq[Double](i + 2)))
+            r.getString(0) -> Sums(s(0), s(1), order.length.toLong, s(2), s(3), s(4), s(5))
+          }.toMap
+        } else {
+          val r = frame.groupBy(inst.as("__i")).agg(
+            nanSkippingSum("k_predict"), nanSkippingSum("k_real"), count(lit(1)),
+            nanSkippingSum("value_predict"), nanSkippingSum("value_real"),
+            nanSkippingSum("cnt_predict"), nanSkippingSum("cnt_real")).collect()
+          r.map { row =>
+            def d(i: Int) = if (row.isNullAt(i)) 0.0 else row.getDouble(i)
+            row.getString(0) -> Sums(d(1), d(2), row.getLong(3), d(4), d(5), d(6), d(7))
+          }.toMap
+        }
+      if (sums.isEmpty)
+        return (Map.empty, frame.limit(0).withColumn("__after", lit(false))
+          .withColumn("__times", lit(0L)), Map.empty)
+
+      // --- ID / CA columns from broadcast per-instance scalars
+      val sumsDf = sums.toSeq.map { case (i, s) =>
+        (i, s.kF, s.kV, (s.n - 1).toDouble, s.mF, s.dF, s.dF / s.mF)
+      }.toDF("__si", "__kF", "__kV", "__nm1", "__mF", "__dF", "__rate1")
+      val scored = frame.join(broadcast(sumsDf), inst === col("__si"))
+        .withColumn("ID", idColFrom(col("__kF"), col("__kV"), col("__nm1")))
+        .withColumn("CA", caColFrom(col("__rate1"), col("__mF"), col("__dF")))
+        .drop("__si", "__kF", "__kV", "__nm1", "__mF", "__dF", "__rate1")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      // --- knee threshold per instance (select_expand.py:39-62)
+      val idVecs: Map[String, Array[Double]] =
+        if (parity) {
+          scored.groupBy(inst.as("__i")).agg(
+            VectorAgg.collectVector(col("__row").cast("double")).as("rowv"),
+            VectorAgg.collectVector(coalesce(col("ID"), lit(Double.NaN))).as("idv"))
+            .collect().map { r =>
+              val order = graft.kernels.NumpyArgsort.argsort(r.getSeq[Double](1).toArray)
+              val ids = order.map(r.getSeq[Double](2)).toArray
+              r.getString(0) -> graft.kernels.PyListSort.sort(ids).filter(_ > 0)
+            }.toMap
+        } else {
+          val positives = scored.filter(!isnan(col("ID")) && col("ID") > 0)
+          val sampled =
+            if (opt.idSampleFraction < 1.0) positives.sample(opt.idSampleFraction, seed = 42L)
+            else positives
+          sampled.groupBy(inst.as("__i"))
+            .agg(VectorAgg.collectVector(col("ID")).as("idv"))
+            .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toArray.sorted).toMap
+        }
+      val thresholds: Map[String, Double] = sums.keysIterator.map { i =>
+        val ids = idVecs.getOrElse(i, Array.empty[Double])
+        val t = idThreshold(ids)
+        traceFor(i).trace(s"  KNEE: n=${ids.length} knee=$t\n    x=${ids.mkString("[", ", ", "]")}")
+        i -> t
+      }.toMap
+
+      // --- screening flags + int-truncated expansion weights
+      val thrDf = thresholds.toSeq.toDF("__ti", "__thr")
+      val afterCond = !isnan(col("ID")) && col("ID") > col("__thr") &&
+        col("CA") > lit(effOpt.caThreshold)
+      val times =
+        if (opt.derived) (col("ID") * col("CA") * opt.lambdaAmplification).cast("long")
+        else (col("ID") * opt.lambdaAmplification).cast("long")
+      val flagged = scored.join(broadcast(thrDf), inst === col("__ti")).drop("__ti")
+        .withColumn("__after", afterCond)
+        .withColumn("__times", times)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      // --- weighted per-attribute modes, ties to the smallest value
+      // (mining.py:9-13), one pass for every instance and attribute
+      val av = explode(array(attributes.map(a =>
+        struct(lit(a).as("attr"), col(a).as("value"))): _*)).as("av")
+      val modeRows = flagged.filter(col("__after") && col("__times") >= 1)
+        .select(inst.as("__i"), av, col("__times").as("w"))
+        .groupBy(col("__i"), col("av.attr").as("attr"), col("av.value").as("value"))
+        .agg(sum("w").as("cnt"))
+        .collect()
+      val modes: Map[String, Map[String, String]] = modeRows.groupBy(_.getString(0))
+        .map { case (i, rows) =>
+          i -> rows.groupBy(_.getString(1)).map { case (attr, vs) =>
+            attr -> vs.minBy(r => (-r.getLong(3), r.getString(2))).getString(2)
+          }
+        }
+
+      // --- ONE (instance, bitmask) histogram pass; bit i <=> attributes(i)
+      // equals the instance's mode (mining.py:33-52 batched corpus-wide)
+      val minedInstances = modes.keys.toSeq.sorted
+      val rcOut = collection.mutable.Map.empty[String, Seq[Cause]]
+      val totals = collection.mutable.Map.empty[String, (Double, Double)]
+      for (i <- sums.keys if !modes.contains(i)) {
+        traceFor(i).trace(s"ROUND $round: empty expansion")
+        rcOut(i) = Seq.empty
+      }
+      if (minedInstances.nonEmpty) {
+        val modesDf = minedInstances.map(i => (i, modes(i))).toDF("__mi", "__modes")
+        val mask = attributes.zipWithIndex.map { case (a, i) =>
+          when(col(a) === element_at(col("__modes"), lit(a)), 1 << i).otherwise(0)
+        }.reduce(_ + _)
+        val hists = flagged.join(broadcast(modesDf), inst === col("__mi"))
+          .groupBy(inst.as("__i"), mask.as("mask"))
+          .agg(
+            count(lit(1)).cast("double").as("n_before"),
+            count(when(col("__after"), lit(1))).cast("double").as("n_after"),
+            sum(when(col("__after") && col("__times") >= 1, col("__times"))
+              .otherwise(0L)).cast("double").as("n_expand"))
+          .collect()
+          .groupBy(_.getString(0))
+        for (i <- minedInstances) {
+          val rows = hists(i)
+          val beforeHist = rows.map(r => r.getInt(1) -> r.getDouble(2)).toMap
+          val afterHist = rows.map(r => r.getInt(1) -> r.getDouble(3)).toMap
+          val expandHist = rows.map(r => r.getInt(1) -> r.getDouble(4)).toMap
+          val items: Seq[Item] = attributes.map(a => (a, modes(i)(a)))
+          rcOut(i) = mineFromHists(items, beforeHist, afterHist, expandHist,
+            traceFor(i), round)
+          totals(i) = (beforeHist.values.sum, afterHist.values.sum)
+        }
+      }
+      scored.unpersist()
+      (rcOut.toMap, flagged, totals.toMap)
+    }
+
+    // ---- 7-round drill-down (robustspot.py:56-69), corpus-wide
+    val rc = collection.mutable.Map.empty[String, Array[Seq[Cause]]]
+    for (i <- allInstances) rc(i) = Array.fill[Seq[Cause]](7)(Seq.empty)
+
+    val (rc0, flagged0, totals0) = roundPass(0, adapted)
+    for ((i, cs) <- rc0) rc(i)(0) = cs
+
+    val laterFrames = collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (dim1 <- 1 to 3) {
+      val i1 = 2 * dim1 - 1
+      val active1 = allInstances.filter(i => rc(i)(0).size >= dim1)
+      if (active1.nonEmpty) {
+        // rounds 1/3/5 drop round-0's top-dim1 cause from the full frame
+        val drops1 = active1.map(i => (i, rc(i)(0)(dim1 - 1).toMap)).toDF("__di", "__c1")
+        val frame1 = adapted.join(broadcast(drops1), inst === col("__di"))
+          .filter(!matchesCause(col("__c1"))).drop("__di", "__c1")
+        val (rc1, fl1, _) = roundPass(i1, frame1)
+        laterFrames += fl1
+        for ((i, cs) <- rc1) rc(i)(i1) = cs
+
+        // rounds 2/4/6 additionally drop the previous round's top cause
+        val active2 = active1.filter(i => rc(i)(i1).nonEmpty)
+        if (active2.nonEmpty) {
+          val drops2 = active2.map(i =>
+            (i, rc(i)(0)(dim1 - 1).toMap, rc(i)(i1).head.toMap)).toDF("__di", "__c1", "__c2")
+          val frame2 = adapted.join(broadcast(drops2), inst === col("__di"))
+            .filter(!matchesCause(col("__c1")) && !matchesCause(col("__c2")))
+            .drop("__di", "__c1", "__c2")
+          val (rc2, fl2, _) = roundPass(i1 + 1, frame2)
+          laterFrames += fl2
+          for ((i, cs) <- rc2) rc(i)(i1 + 1) = cs
+        }
+      }
+    }
+    laterFrames.foreach(_.unpersist())
+
+    // ---- merge + collapse + rank per instance; support counts batched
+    // over the persisted round-0 frame against broadcast cause tables
+    val withResults = allInstances.filter(i => rc(i)(0).nonEmpty)
+    val result: Map[String, Seq[Seq[Cause]]] =
+      if (withResults.isEmpty) Map.empty
+      else {
+        val mergeRes0: Map[String, Seq[Seq[Cause]]] =
+          withResults.map(i => i -> mergeRounds(rc(i).toIndexedSeq)).toMap
+        val keepOf: Map[String, Map[Seq[Cause], Cause]] =
+          withResults.map(i => i -> keepCandidates(mergeRes0(i).filter(_.length > 1))).toMap
+
+        /** Batched cause support counts: (instance, causeId) -> (n matching
+          * rows, n matching screened rows) via one broadcast-join pass. */
+        def batchCounts(causes: Map[String, Seq[Cause]]): Map[(String, Int), (Long, Long)] = {
+          val rows = causes.toSeq.flatMap { case (i, cs) =>
+            cs.zipWithIndex.map { case (c, idx) => (i, idx, c.toMap) }
+          }
+          if (rows.isEmpty) Map.empty
+          else {
+            val causesDf = rows.toDF("__qi", "__qid", "__qc")
+            flagged0.join(broadcast(causesDf), inst === col("__qi"))
+              .filter(matchesCause(col("__qc")))
+              .groupBy(col("__qi"), col("__qid"))
+              .agg(count(lit(1)).as("nb"), count(when(col("__after"), lit(1))).as("na"))
+              .collect()
+              .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+          }
+        }
+
+        val dimCauses: Map[String, Seq[Cause]] = withResults.map { i =>
+          val multi = mergeRes0(i).filter(_.length > 1)
+          i -> (multi.flatten ++ keepOf(i).values.filter(_.nonEmpty)).distinct
+        }.toMap
+        val dimCounts = batchCounts(dimCauses)
+
+        val collapsed: Map[String, Seq[Seq[Cause]]] = withResults.map { i =>
+          val idxOf = dimCauses(i).zipWithIndex.toMap
+          def dimCount(c: Cause): Double =
+            dimCounts.get((i, idxOf(c))).map(_._1.toDouble).getOrElse(0.0)
+          val nBefore0 = totals0(i)._1
+          i -> dedupeEntries(collapseEntries(mergeRes0(i), keepOf(i), dimCount, nBefore0))
+        }.toMap
+
+        val finalCauses: Map[String, Seq[Cause]] =
+          collapsed.map { case (i, entries) => i -> entries.flatten.distinct }
+        val finalCounts = batchCounts(finalCauses)
+
+        withResults.map { i =>
+          val idxOf = finalCauses(i).zipWithIndex.toMap
+          def beforeCount(c: Cause): Double =
+            finalCounts.get((i, idxOf(c))).map(_._1.toDouble).getOrElse(0.0)
+          def afterCount(c: Cause): Double =
+            finalCounts.get((i, idxOf(c))).map(_._2.toDouble).getOrElse(0.0)
+          val (nBefore0, nAfter0) = totals0(i)
+          val entries = rankEntries(collapsed(i), beforeCount, afterCount,
+            nBefore0, nAfter0, opt.k)
+          traceFor(i).trace("FINAL:\n" + entries.map(e =>
+            "   " + e.map(_.mkString("&")).mkString(" | ")).mkString("\n"))
+          i -> entries
+        }.toMap
+      }
+
+    flagged0.unpersist()
+    adapted.unpersist()
+    empty ++ result
+  }
+
+  /** Canonical per-instance prediction strings (evaluation.py:46-49). */
+  def predictions(results: Map[String, Seq[Seq[Cause]]]): Map[String, Seq[String]] =
+    results.view.mapValues(RobustSpot.predictions).toMap
+}

@@ -83,13 +83,13 @@ object RobustSpot {
   // ------------------------------------------------------------ ID and CA
 
   /** One pass for all six global sums feeding ID and CA. */
-  private final case class Sums(kF: Double, kV: Double, n: Long,
+  private[algorithms] final case class Sums(kF: Double, kV: Double, n: Long,
       mF: Double, mV: Double, dF: Double, dV: Double)
 
   /** pandas `.sum()` skips NaN (skipna=True); Spark's `sum` propagates it.
     * The k columns carry NaN for 0/0 leaves (no-history forecasts), so the
     * global sums must null NaN out first to match the reference. */
-  private def nanSkippingSum(c: String) =
+  private[algorithms] def nanSkippingSum(c: String) =
     sum(when(isnan(col(c)), lit(null)).otherwise(col(c)))
 
   private def globalSums(df: DataFrame): Sums =
@@ -117,26 +117,33 @@ object RobustSpot {
 
   /** Influence degree (ID_CA.py:12-26): leave-one-out averages; NaN/Inf
     * propagate exactly as numpy (0/0 rows get ID=NaN and are screened out
-    * by the `ID > threshold` filter). */
-  private def idCol(s: Sums): Column = {
-    val nm1 = lit((s.n - 1).toDouble)
-    val denom = numpyDiv(lit(s.kV) - col("k_real"), nm1) - numpyDiv(lit(s.kF) - col("k_predict"), nm1)
+    * by the `ID > threshold` filter). Column-parameterized so the scalars
+    * can come from `lit`s (one instance) or a joined per-instance column
+    * (BatchRobustSpot) with identical IEEE-754 arithmetic. */
+  private[algorithms] def idColFrom(kF: Column, kV: Column, nm1: Column): Column = {
+    val denom = numpyDiv(kV - col("k_real"), nm1) - numpyDiv(kF - col("k_predict"), nm1)
     lit(1.0) - numpyDiv(lit(1.0), abs(numpyDiv(col("k_real") - col("k_predict"), denom)) + lit(1.0))
   }
 
+  private def idCol(s: Sums): Column =
+    idColFrom(lit(s.kF), lit(s.kV), lit((s.n - 1).toDouble))
+
   /** Contribution ability (ID_CA.py:42-71): NaN -> 0 (the per-row isnan
     * check; the reference's unassigned replace/fillna is a no-op we do not
-    * "fix", SURVEY.md §7.3). */
-  private def caCol(s: Sums): Column = {
-    val rate1 = lit(s.dF / s.mF) // scalar: JVM IEEE-754 division = numpy
+    * "fix", SURVEY.md §7.3). `rate1` is the driver-computed dF/mF scalar
+    * (JVM IEEE-754 division = numpy). */
+  private[algorithms] def caColFrom(rate1: Column, mF: Column, dF: Column): Column = {
     // parenthesization matters: the reference computes v + (sum - f)
     // (ID_CA.py:57), not (v + sum) - f — a ULP apart, and CA > 0 is a
     // strict screen
-    val rate2 = numpyDiv(col("value_real") + (lit(s.mF) - col("value_predict")),
-      col("cnt_real") + (lit(s.dF) - col("cnt_predict")))
+    val rate2 = numpyDiv(col("value_real") + (mF - col("value_predict")),
+      col("cnt_real") + (dF - col("cnt_predict")))
     val ca = rate1 * rate2 - lit(1.0)
     when(isnan(ca), 0.0).otherwise(ca)
   }
+
+  private def caCol(s: Sums): Column =
+    caColFrom(lit(s.dF / s.mF), lit(s.mF), lit(s.dF))
 
   /** Kneedle threshold over the positive-ID CDF (select_expand.py:39-62):
     * S=6, degree-7 polynomial fit, default 0.5. The x vector is taken in
@@ -236,7 +243,7 @@ object RobustSpot {
       }
   }
 
-  private def supp(hist: Map[Int, Double], bits: Int): Double =
+  private[algorithms] def supp(hist: Map[Int, Double], bits: Int): Double =
     hist.collect { case (m, c) if (m & bits) == bits => c }.sum
 
   /** One mining round (mining.py:76-107): association rules over the
@@ -248,7 +255,6 @@ object RobustSpot {
     val modes = weightedModes(state.expand, attrs)
     if (modes.isEmpty) { opt.trace(s"ROUND $round: empty expansion"); return Seq.empty } // mining.py degenerate case
     val items: Seq[Item] = attrs.map(a => (a, modes(a)))
-    val idxs = items.indices
 
     // one pass: before = all rows, after = screened rows, expand = screened
     // rows weighted by their (positive) expansion times
@@ -266,6 +272,17 @@ object RobustSpot {
     val beforeHist = hists.map(r => r.getInt(0) -> r.getDouble(1)).toMap
     val afterHist = hists.map(r => r.getInt(0) -> r.getDouble(2)).toMap
     val expandHist = hists.map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    mineFromHists(items, beforeHist, afterHist, expandHist, opt, round)
+  }
+
+  /** The driver half of one mining round: association rules over the
+    * mode-itemset power set from pre-computed bitmask histograms.
+    * Shared verbatim by the sequential path above and BatchRobustSpot
+    * (whose histograms come from one instance-keyed pass). */
+  private[algorithms] def mineFromHists(items: Seq[Item], beforeHist: Map[Int, Double],
+      afterHist: Map[Int, Double], expandHist: Map[Int, Double],
+      opt: Options, round: Int): Seq[Cause] = {
+    val idxs = items.indices
     val nBefore = beforeHist.values.sum
     val nAfter = afterHist.values.sum
 
@@ -323,21 +340,77 @@ object RobustSpot {
     a.indices.exists(i => a(i)._2 != b(i)._2)
 
   /** final.py:14-29 — pairs of equal-shape causes differing in a value. */
-  private def mergeCauses2(xs: Seq[Cause], ys: Seq[Cause]): Seq[Seq[Cause]] =
+  private[algorithms] def mergeCauses2(xs: Seq[Cause], ys: Seq[Cause]): Seq[Seq[Cause]] =
     for (c1 <- xs; c2 <- ys
          if sameAttrsPositionally(c1, c2) && anyValueDiffers(c1, c2))
       yield Seq(c1, c2)
 
   /** final.py:32-49 — triples, all three pairwise differing at a position. */
-  private def mergeCause3(xs: Seq[Cause], ys: Seq[Cause], zs: Seq[Cause]): Seq[Seq[Cause]] =
+  private[algorithms] def mergeCause3(xs: Seq[Cause], ys: Seq[Cause], zs: Seq[Cause]): Seq[Seq[Cause]] =
     for (c1 <- xs; c2 <- ys; c3 <- zs
          if sameAttrsPositionally(c1, c2) && sameAttrsPositionally(c2, c3) &&
            c1.indices.exists(i => c1(i)._2 != c2(i)._2 && c1(i)._2 != c3(i)._2 &&
              c2(i)._2 != c3(i)._2))
       yield Seq(c1, c2, c3)
 
-  private def getMergeRes(a: Seq[Cause], b: Seq[Cause], c: Seq[Cause]): Seq[Seq[Cause]] =
+  private[algorithms] def getMergeRes(a: Seq[Cause], b: Seq[Cause], c: Seq[Cause]): Seq[Seq[Cause]] =
     mergeCauses2(a, b) ++ mergeCauses2(a, c) ++ mergeCauses2(b, c) ++ mergeCause3(a, b, c)
+
+  /** The 7-round merge table (robustspot.py:71-79). */
+  private[algorithms] def mergeRounds(rc: IndexedSeq[Seq[Cause]]): Seq[Seq[Cause]] =
+    getMergeRes(rc(0).take(1), rc(1).take(1), rc(2)) ++
+    getMergeRes(rc(0).slice(1, 2), rc(3).take(1), rc(4)) ++
+    getMergeRes(rc(0).slice(2, 3), rc(5).take(1), rc(6)) ++
+    rc(0).map(Seq(_))
+
+  /** merge_larger_dimension prep (final.py:52-61): for each multi-cause
+    * entry, the single-valued attributes it could collapse to. */
+  private[algorithms] def keepCandidates(multi: Seq[Seq[Cause]]): Map[Seq[Cause], Cause] =
+    multi.map { entry =>
+      val byAttr = collection.mutable.LinkedHashMap.empty[String, collection.mutable.ArrayBuffer[String]]
+      for (c <- entry; (a, v) <- c)
+        if (!byAttr.getOrElseUpdate(a, collection.mutable.ArrayBuffer.empty).contains(v))
+          byAttr(a) += v
+      entry -> byAttr.collect { case (a, vs) if vs.length == 1 => (a, vs.head) }.toSeq
+    }.toMap
+
+  /** merge_larger_dimension (final.py:52-70): collapse multi-cause entries
+    * to their single-valued attributes when support is preserved. */
+  private[algorithms] def collapseEntries(mergeRes: Seq[Seq[Cause]],
+      keepOf: Map[Seq[Cause], Cause], dimCount: Cause => Double,
+      nBefore0: Double): Seq[Seq[Cause]] =
+    mergeRes.map { entry =>
+      if (entry.length > 1) {
+        val keep = keepOf(entry)
+        if (keep.nonEmpty) {
+          val beforeSupport = entry.map(dimCount).sum / nBefore0
+          val afterSupport = dimCount(keep) / nBefore0
+          if (afterSupport > 0 && beforeSupport / afterSupport >= 0.9)
+            Seq(keep.sortBy(_._1))
+          else entry
+        } else entry
+      } else entry
+    }
+
+  /** dedupe as sets of causes (robustspot.py:92-97). */
+  private[algorithms] def dedupeEntries(entries: Seq[Seq[Cause]]): Seq[Seq[Cause]] = {
+    val seen = collection.mutable.Set.empty[Set[Set[Item]]]
+    entries.filter { entry =>
+      val key = entry.map(_.toSet).toSet
+      if (seen.contains(key)) false else { seen += key; true }
+    }
+  }
+
+  /** Final ranking: most negative support delta over round-0 before/after
+    * (robustspot.py:100-106, np.argsort's exact tie permutation). */
+  private[algorithms] def rankEntries(mergeRes: Seq[Seq[Cause]],
+      beforeCount: Cause => Double, afterCount: Cause => Double,
+      nBefore0: Double, nAfter0: Double, k: Int): Seq[Seq[Cause]] = {
+    val deltas = mergeRes.map { entry =>
+      entry.map(beforeCount).sum / nBefore0 - entry.map(afterCount).sum / nAfter0
+    }
+    NumpyArgsort.argsort(deltas.toArray).take(k).toSeq.map(mergeRes)
+  }
 
   /** Batched itemset counts: one conditional-aggregation pass per table. */
   private def causeCounts(df: DataFrame, causes: Seq[Cause]): Map[Cause, Long] =
@@ -381,11 +454,7 @@ object RobustSpot {
       }
     }
 
-    var mergeRes: Seq[Seq[Cause]] =
-      getMergeRes(rc(0).take(1), rc(1).take(1), rc(2)) ++
-      getMergeRes(rc(0).slice(1, 2), rc(3).take(1), rc(4)) ++
-      getMergeRes(rc(0).slice(2, 3), rc(5).take(1), rc(6)) ++
-      rc(0).map(Seq(_))
+    var mergeRes: Seq[Seq[Cause]] = mergeRounds(rc.toIndexedSeq)
 
     // p2p-discard collapse (robustspot.py:81-90) is a NO-OP in the
     // reference: it discards the INT tuples ('p2p', 1)/('p2p', 0), but the
@@ -393,53 +462,22 @@ object RobustSpot {
     // entry collapses. Replicate the no-op — "fixing" it to strings
     // changes which entries merge and breaks corpus parity (RS_SWEEP.md).
 
-    // merge_larger_dimension (final.py:52-70): collapse multi-cause entries
-    // to their single-valued attributes when support is preserved
     val before0 = states(0).before
     val after0 = states(0).after
     val multi = mergeRes.filter(_.length > 1)
-    val keepOf: Map[Seq[Cause], Cause] = multi.map { entry =>
-      val byAttr = collection.mutable.LinkedHashMap.empty[String, collection.mutable.ArrayBuffer[String]]
-      for (c <- entry; (a, v) <- c)
-        if (!byAttr.getOrElseUpdate(a, collection.mutable.ArrayBuffer.empty).contains(v))
-          byAttr(a) += v
-      entry -> byAttr.collect { case (a, vs) if vs.length == 1 => (a, vs.head) }.toSeq
-    }.toMap
+    val keepOf = keepCandidates(multi)
     val dimCauses = (multi.flatten ++ keepOf.values.filter(_.nonEmpty)).distinct
     val dimCounts = causeCounts(before0, dimCauses)
     val nBefore0 = before0.count().toDouble
-    mergeRes = mergeRes.map { entry =>
-      if (entry.length > 1) {
-        val keep = keepOf(entry)
-        if (keep.nonEmpty) {
-          val beforeSupport = entry.map(c => dimCounts(c).toDouble).sum / nBefore0
-          val afterSupport = dimCounts(keep).toDouble / nBefore0
-          if (afterSupport > 0 && beforeSupport / afterSupport >= 0.9)
-            Seq(keep.sortBy(_._1))
-          else entry
-        } else entry
-      } else entry
-    }
+    mergeRes = collapseEntries(mergeRes, keepOf, c => dimCounts(c).toDouble, nBefore0)
+    mergeRes = dedupeEntries(mergeRes)
 
-    // dedupe as sets of causes (robustspot.py:92-97)
-    val seen = collection.mutable.Set.empty[Set[Set[Item]]]
-    mergeRes = mergeRes.filter { entry =>
-      val key = entry.map(_.toSet).toSet
-      if (seen.contains(key)) false else { seen += key; true }
-    }
-
-    // final ranking: most negative support delta over round-0 before/after
     val finalCauses = mergeRes.flatten.distinct
     val beforeCounts = causeCounts(before0, finalCauses)
     val afterCounts = causeCounts(after0, finalCauses)
     val nAfter0 = after0.count().toDouble
-    val deltas = mergeRes.map { entry =>
-      entry.map(c => beforeCounts(c).toDouble).sum / nBefore0 -
-        entry.map(c => afterCounts(c).toDouble).sum / nAfter0
-    }
-    // np.argsort (robustspot.py:106) — not stable; exact tie permutation
-    val result = NumpyArgsort.argsort(deltas.toArray).take(opt.k).toSeq
-      .map(mergeRes)
+    val result = rankEntries(mergeRes, c => beforeCounts(c).toDouble,
+      c => afterCounts(c).toDouble, nBefore0, nAfter0, opt.k)
 
     adapted.unpersist()
     states.foreach(st => if (st != null) st.cached.unpersist())

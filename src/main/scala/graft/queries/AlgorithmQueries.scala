@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.algorithms.{Adtributor, AutoRoot, BatchAutoRoot, BatchRiskLoc, BatchSqueeze, HotSpot, RevRecAdtributor, RiskLoc, RobustSpot, Squeeze}
+import graft.algorithms.{Adtributor, AutoRoot, BatchAutoRoot, BatchRiskLoc, BatchRobustSpot, BatchSqueeze, HotSpot, RevRecAdtributor, RiskLoc, RobustSpot, Squeeze}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -141,6 +141,16 @@ object AlgorithmQueries {
         rcs.map(rc => (inst, rc.labels.mkString(";"),
           math.floor(rc.scores("avg") * 1e6) / 1e6))
       }.toDF("instance_id", "root_cause", "avg_score")
+        .orderBy("instance_id", "root_cause")
+    },
+
+    GateQuery.rowsOnly("q65_batch_robustspot") { (s, dir) =>
+      import s.implicits._
+      val found = BatchRobustSpot.predictions(
+        BatchRobustSpot.run(anomalousCorpus(s, dir), "instance_id", attrs,
+          RobustSpot.Options(k = 3, derived = false)))
+      found.toSeq.flatMap { case (inst, preds) => preds.map(inst -> _) }
+        .toDF("instance_id", "root_cause")
         .orderBy("instance_id", "root_cause")
     },
   )
