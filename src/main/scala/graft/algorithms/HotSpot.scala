@@ -171,7 +171,7 @@ object HotSpot {
 
   /** Keep only elements that strictly contain some element of a layer-(l-1)
     * candidate whose cuboid is a strict subset (hotspot.py:203-209). */
-  private def hierarchicalPruning(elems: Array[ElemStats], layer: Int,
+  private[algorithms] def hierarchicalPruning(elems: Array[ElemStats], layer: Int,
       cuboid: Seq[String], candidates: Seq[Candidate]): Array[ElemStats] = {
     val parentSelections = candidates
       .filter(c => c.layer == layer - 1 && c.cuboid.toSet.subsetOf(cuboid.toSet)

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.algorithms.{Adtributor, AutoRoot, BatchAutoRoot, BatchRiskLoc, BatchRobustSpot, BatchSqueeze, HotSpot, RevRecAdtributor, RiskLoc, RobustSpot, Squeeze}
+import graft.algorithms.{Adtributor, AutoRoot, BatchAutoRoot, BatchHotSpot, BatchRiskLoc, BatchRobustSpot, BatchSqueeze, HotSpot, RevRecAdtributor, RiskLoc, RobustSpot, Squeeze}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -152,6 +152,16 @@ object AlgorithmQueries {
       found.toSeq.flatMap { case (inst, preds) => preds.map(inst -> _) }
         .toDF("instance_id", "root_cause")
         .orderBy("instance_id", "root_cause")
+    },
+
+    GateQuery.rowsOnly("q66_batch_hotspot") { (s, dir) =>
+      import s.implicits._
+      val found = BatchHotSpot.run(anomalousCorpus(s, dir), "instance_id", attrs)
+      found.toSeq.map { case (inst, c) =>
+        (inst, c.elements.map(_.mkString("&")).mkString(";"),
+          c.cuboid.mkString(","), c.layer, math.floor(c.score * 1e6) / 1e6)
+      }.toDF("instance_id", "elements", "cuboid", "layer", "score")
+        .orderBy("instance_id")
     },
   )
 }
