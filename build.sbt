@@ -29,5 +29,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 53 gate queries share one JVM (bench) and several frames stay
+  // persisted for the session; the box has 125 GiB — a roomy heap keeps
+  // old-gen GC out of the timings.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
 )

@@ -71,6 +71,75 @@ object RsSweep {
       graft.model.Labels.canonicalPredictions(preds).sorted, s.tp, s.fp, s.fn, seconds)
   }
 
+  /** Whole-corpus BATCHED sweep: every case becomes one instance of a
+    * single instance-keyed frame and each algorithm runs as ONE Batch*
+    * DAG over the union (grouped by attribute sequence — the mining
+    * bitmask and cuboid lattice are positional in the attribute list, so
+    * heterogeneous cases batch per distinct sequence). This is the
+    * 100 TB execution shape: ~a fixed number of corpus-wide aggregation
+    * passes per layer/round instead of 135 sequential driver loops, with
+    * per-case predictions pinned equal to the sequential sweep (which
+    * RS_SWEEP.md proved bit-equal to the reference). */
+  def batchedSweep(spark: SparkSession, rsDir: String, algos: Seq[String],
+      files: Seq[String]): Seq[CaseResult] = {
+    import org.apache.spark.sql.functions.lit
+    val metas = files.map { f =>
+      val anomaly = RsLabels.labelFor(rsDir, f)
+      val raw = RsSource.readRaw(spark, s"$rsDir/$f.csv")
+      (f, anomaly, raw, RsSource.attributesOf(raw))
+    }
+    algos.flatMap { algo =>
+      val t0 = System.nanoTime()
+      val preds: Map[String, Seq[String]] =
+        metas.groupBy(_._4).toSeq.flatMap { case (attrs, group) =>
+          // materialize the corpus ONCE: the union of 135 per-case
+          // CSV-scan + forecast-join plans would otherwise ride along in
+          // every Batch* pass (MB-scale task binaries, re-analysis per
+          // job). localCheckpoint truncates the lineage to cached blocks —
+          // the production shape, where the corpus is one written table.
+          val union = group.map { case (f, anomaly, raw, _) =>
+            RsSource.snapshot(raw, anomaly.timestamp,
+              withRowIndex = algo == "robustspot")
+              .withColumn("instance_id", lit(f))
+          }.reduce(_ unionByName _).localCheckpoint(true)
+          val got: Map[String, Seq[String]] = algo match {
+            case "robustspot" =>
+              BatchRobustSpot.predictions(BatchRobustSpot.run(union, "instance_id",
+                attrs, RobustSpot.Options(k = 3, derived = true)))
+            case "autoroot" =>
+              BatchAutoRoot.run(union, "instance_id", attrs,
+                  AutoRoot.Options(deltaThreshold = 0.25))
+                .view.mapValues(AutoRoot.predictions).toMap
+            case "squeeze" =>
+              BatchSqueeze.run(union, "instance_id", attrs.sorted,
+                Squeeze.Options(derived = true))
+            case "adtributor" =>
+              val rows = BatchAdtributor.run(union, "instance_id", attrs,
+                Adtributor.Options(derived = true)).collect()
+              rows.groupBy(r => r.getString(r.fieldIndex("instance_id")))
+                .view.mapValues { rs =>
+                graft.model.Labels.canonicalPredictions(
+                  rs.sortBy(_.getInt(rs.head.fieldIndex("rank"))).toSeq.flatMap { r =>
+                    val dim = r.getString(r.fieldIndex("dimension"))
+                    r.getSeq[String](r.fieldIndex("elements")).map(e => s"$dim=$e")
+                  })
+              }.toMap
+            case other => throw new IllegalArgumentException(other)
+          }
+          got
+        }.toMap
+      // corpus-level wall time, attributed evenly so per-algo sums in the
+      // summary table remain meaningful
+      val perCase = (System.nanoTime() - t0) / 1e9 / files.size
+      metas.map { case (f, anomaly, _, _) =>
+        val p = graft.model.Labels
+          .canonicalPredictions(preds.getOrElse(f, Seq.empty)).sorted
+        val s = Evaluation.score(p, anomaly.label)
+        CaseResult(algo, f, anomaly.label, p, s.tp, s.fp, s.fn, perCase)
+      }
+    }
+  }
+
   def sweep(spark: SparkSession, rsDir: String, algos: Seq[String],
       files: Seq[String], nThreads: Int = 8): Seq[CaseResult] = {
     val pool = Executors.newFixedThreadPool(nThreads)
@@ -84,7 +153,9 @@ object RsSweep {
   def main(args: Array[String]): Unit = {
     val rsDir = args.lift(0).getOrElse("/root/reference/data/RS")
     val goldenPath = args.lift(1).getOrElse("src/test/resources/fixtures/rs_corpus_golden.tsv")
-    val outMd = args.lift(2).getOrElse("RS_SWEEP.md")
+    val mode = args.lift(4).getOrElse("seq") // seq | batch
+    val outMd = args.lift(2).getOrElse(
+      if (mode == "batch") "RS_SWEEP_BATCH.md" else "RS_SWEEP.md")
     val algos = args.lift(3).map(_.split(',').toSeq)
       .getOrElse(Seq("robustspot", "autoroot", "squeeze", "adtributor"))
 
@@ -97,11 +168,21 @@ object RsSweep {
     spark.sparkContext.setLogLevel("WARN")
 
     val t0 = System.nanoTime()
-    val results = sweep(spark, rsDir, algos, files)
+    val results =
+      if (mode == "batch") batchedSweep(spark, rsDir, algos, files)
+      else sweep(spark, rsDir, algos, files)
     val wall = (System.nanoTime() - t0) / 1e9
 
     val md = new StringBuilder
-    md ++= "# RS corpus parity sweep — 135 real production cases\n\n"
+    if (mode == "batch") {
+      md ++= "# RS corpus parity sweep — BATCHED (one instance-keyed DAG per algorithm)\n\n"
+      md ++= "Same 135 cases and golden as RS_SWEEP.md, but each algorithm runs\n"
+      md ++= "as ONE whole-corpus Batch* DAG (instance-keyed aggregation passes)\n"
+      md ++= "instead of 135 sequential per-case runs — the execution shape that\n"
+      md ++= "scales to a large cluster. Per-case predictions must still match\n"
+      md ++= "the reference exactly.\n\n"
+    } else
+      md ++= "# RS corpus parity sweep — 135 real production cases\n\n"
     md ++= "Engine vs reference (`run.py` protocol, CLI defaults) on every case\n"
     md ++= "of `data/RS/`. Golden: `src/test/resources/fixtures/rs_corpus_golden.tsv`\n"
     md ++= "(the reference implementation's own per-case output; regenerate with\n"

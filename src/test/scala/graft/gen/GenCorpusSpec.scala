@@ -13,7 +13,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * seed 20260812, dims a6 b5 c4 d3) is localized by the REFERENCE
   * implementation (fixtures/gen_corpus_golden.tsv via
   * tools/make_gen_golden.py) and by the engine; per-file predictions and
-  * F1 must match exactly for all five algorithms. This closes the loop
+  * F1 must match exactly for all six algorithms — including stochastic
+  * HotSpot, whose seeded reference run is replayed bit-for-bit via the
+  * MT19937 port (HotSpotParity). This closes the loop
   * the VERDICT asked for: generated labels round-trip, and engine F1 on
   * generator output equals the reference's.
   */
@@ -49,10 +51,15 @@ class GenCorpusSpec extends AnyFunSuite {
         // __row: CSV order for the knee's NaN-scramble parity path
         val df = df0.withColumn("__row", monotonically_increasing_id())
         RobustSpot.predictions(RobustSpot.run(df, attrs, RobustSpot.Options(derived = false)))
+      case "hotspot" =>
+        // stochastic MCTS: the golden seeds random.seed(int(file)) per run;
+        // HotSpotParity replays it with the MT19937 port + CPython set order
+        val df = df0.withColumn("__row", monotonically_increasing_id())
+        HotSpot.predictions(HotSpotParity.run(df, attrs, HotSpot.Options(), BigInt(file)))
     }
   }
 
-  for (algo <- Seq("riskloc", "autoroot", "squeeze", "adtributor", "robustspot")) {
+  for (algo <- Seq("riskloc", "autoroot", "squeeze", "adtributor", "robustspot", "hotspot")) {
     test(s"$algo matches the reference exactly on the generated corpus") {
       for (file <- files) {
         val g = golden((algo, file))

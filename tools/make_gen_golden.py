@@ -39,6 +39,9 @@ ALGO_ARGS = {
     "robustspot": {"k": 3, "lambda_amplification": 100,
                    "contribution_ability_threshold": 0.0,
                    "confidence_threshold": 0.8},
+    # stochastic MCTS: random.seed(int(file)) is set before each run so the
+    # engine's MT19937 port (HotSpotParity) replays it bit-for-bit
+    "hotspot": {"pt": 0.8, "m": 200, "scoring": "gps"},
 }
 
 
@@ -49,6 +52,9 @@ def main():
     for algo, algo_args in ALGO_ARGS.items():
         t0 = time.time()
         for file in files:
+            if algo == "hotspot":
+                import random
+                random.seed(int(file))
             df = pd.read_csv(os.path.join(CORPUS, file + ".csv"))
             attributes = [c for c in df.columns if c not in ("real", "predict")]
             rcs = run_method(df, [None, None], attributes, algo, dict(algo_args),
