@@ -181,6 +181,14 @@ object RsSweep {
       md ++= "instead of 135 sequential per-case runs — the execution shape that\n"
       md ++= "scales to a large cluster. Per-case predictions must still match\n"
       md ++= "the reference exactly.\n\n"
+      md ++= "Scale note: at RS size (135 cases x ~0.1-11k rows) the corpus is\n"
+      md ++= "far below the batch crossover — concurrent per-case driver loops\n"
+      md ++= "(RS_SWEEP.md) saturate a single machine with less per-pass\n"
+      md ++= "barrier overhead. The batch DAG's pass count is FIXED per\n"
+      md ++= "layer/round regardless of corpus size, so its advantage appears\n"
+      md ++= "when instances x rows outgrow driver coordination (the reference's\n"
+      md ++= "H corpus: 100 x 24M rows, or any 1000-executor run); this sweep\n"
+      md ++= "exists to pin that path's CORRECTNESS at full corpus width.\n\n"
     } else
       md ++= "# RS corpus parity sweep — 135 real production cases\n\n"
     md ++= "Engine vs reference (`run.py` protocol, CLI defaults) on every case\n"

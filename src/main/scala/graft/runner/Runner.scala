@@ -22,7 +22,7 @@ import scala.concurrent.{Await, ExecutionContext, Future}
   * that scales past one machine.
   *
   * Usage: Runner <algorithm> --run-path <dir> [--data-root data]
-  *   [--n-threads 10] [--derived true|false] [--out results]
+  *   [--n-threads 10] [--derived true|false] [--out results] [--batch]
   * Algorithms: riskloc | adtributor | rev_rec_adtributor | autoroot |
   *   squeeze | hotspot | robustspot
   */
@@ -136,6 +136,105 @@ object Runner {
     } finally pool.shutdown()
   }
 
+  /** Whole-corpus batch mode (`--batch`): instead of one driver-coordinated
+    * run per instance, every instance becomes one key of a single
+    * instance-keyed frame and the corpus runs as one Batch* DAG per
+    * (dataset, folder, attribute-sequence) group — a fixed number of
+    * corpus-wide aggregation passes per layer/round, the execution shape
+    * for 1000-file corpora on a real cluster. Predictions per instance are
+    * pinned equal to the sequential path by the Batch*Specs.
+    * rev_rec_adtributor has no batched variant (its recursion re-derives
+    * per-instance sub-snapshots) — it falls back to runAll. */
+  def runBatch(spark: SparkSession, dataRoot: String, refs: Seq[InstanceSource.InstanceRef],
+      algorithm: String, derivedFlag: Option[Boolean],
+      opts: Map[String, String] = Map.empty): Seq[InstanceResult] = {
+    import org.apache.spark.sql.functions.lit
+    def d(key: String, dflt: Double) = opts.get(key).map(_.toDouble).getOrElse(dflt)
+    def i(key: String, dflt: Int) = opts.get(key).map(_.toInt).getOrElse(dflt)
+    def b(key: String, dflt: Boolean) = opts.get(key).map(_.toBoolean).getOrElse(dflt)
+
+    final case class Loaded(ref: InstanceSource.InstanceRef, key: String,
+        df: DataFrame, label: String, attrs: Seq[String], derived: Boolean)
+    val loaded = refs.map { ref =>
+      val rsData = ref.dataset == "RS"
+      val derived = derivedFlag.getOrElse(ref.dataset == "D" || rsData)
+      val dir = ref.dir(dataRoot)
+      val (df, label): (DataFrame, String) =
+        if (rsData) {
+          val anomaly = RsLabels.labelFor(dir, ref.file)
+          val raw = RsSource.readRaw(spark, s"$dir/${ref.file}.csv")
+          (RsSource.snapshot(raw, anomaly.timestamp), anomaly.label)
+        } else if (derived)
+          (InstanceSource.readDerived(spark, dir, ref.file),
+            InstanceSource.injectionLabel(dir, ref.file))
+        else
+          (InstanceSource.readFundamental(spark, dir, ref.file),
+            InstanceSource.injectionLabel(dir, ref.file))
+      Loaded(ref, s"${ref.dataset}/${ref.folder}/${ref.file}", df, label,
+        Snapshots.attributes(df), derived)
+    }
+
+    loaded.groupBy(l => (l.ref.dataset, l.ref.folder, l.attrs, l.derived)).toSeq
+      .flatMap { case ((_, _, attrs, derived), group) =>
+        val t0 = System.nanoTime()
+        // one materialization: Batch* runs many passes over the corpus, and
+        // the per-file scan/join lineage should not ride along in each
+        val union = group.map(l => l.df.withColumn("instance_id", lit(l.key)))
+          .reduce(_ unionByName _).localCheckpoint(true)
+        val preds: Map[String, Seq[String]] = algorithm match {
+          case "riskloc" =>
+            BatchRiskLoc.run(union, "instance_id", attrs, RiskLoc.Options(
+              riskThreshold = d("risk-threshold", 0.5),
+              pepThreshold = d("pep-threshold", 0.02),
+              nRemove = i("n-remove", 5),
+              removeRelative = b("remove-relative", dflt = false),
+              pruneElements = b("prune-elements", dflt = true),
+              derived = derived))
+              .view.mapValues(RiskLoc.predictions).toMap
+          case "adtributor" =>
+            val rows = BatchAdtributor.run(union, "instance_id", attrs,
+              Adtributor.Options(tep = d("tep", 0.1), teep = d("teep", 0.1),
+                k = i("k", 3), derived = derived)).collect()
+            rows.groupBy(r => r.getString(r.fieldIndex("instance_id")))
+              .view.mapValues { rs =>
+                graft.model.Labels.canonicalPredictions(
+                  rs.sortBy(_.getInt(rs.head.fieldIndex("rank"))).toSeq.flatMap { r =>
+                    val dim = r.getString(r.fieldIndex("dimension"))
+                    r.getSeq[String](r.fieldIndex("elements")).map(e => s"$dim=$e")
+                  })
+              }.toMap
+          case "autoroot" =>
+            BatchAutoRoot.run(union, "instance_id", attrs,
+                AutoRoot.Options(deltaThreshold = d("delta-threshold", 0.25)))
+              .view.mapValues(AutoRoot.predictions).toMap
+          case "squeeze" =>
+            BatchSqueeze.run(union, "instance_id", attrs, Squeeze.Options(
+              psUpperBound = d("ps-upper-bound", 0.9),
+              maxNumElements = i("max-num-elements-single-cluster", 12),
+              derived = derived))
+          case "hotspot" =>
+            BatchHotSpot.predictions(BatchHotSpot.run(union, "instance_id", attrs,
+              HotSpot.Options(pt = d("pt", 0.8), m = i("m", 200),
+                scoring = opts.getOrElse("scoring", "gps"))))
+          case "robustspot" =>
+            BatchRobustSpot.predictions(BatchRobustSpot.run(union, "instance_id", attrs,
+              RobustSpot.Options(k = i("k", 3),
+                lambdaAmplification = i("lambda-amplification", 100),
+                caThreshold = d("contribution-ability-threshold", 0.0),
+                confidenceThreshold = d("confidence-threshold", 0.8),
+                derived = derived)))
+          case other => throw new IllegalArgumentException(
+            s"algorithm has no batch variant: $other")
+        }
+        val perCase = (System.nanoTime() - t0) / 1e9 / group.size
+        group.map { l =>
+          val s = Evaluation.score(preds.getOrElse(l.key, Seq.empty), l.label)
+          InstanceResult(l.ref.dataset, l.ref.folder, l.ref.file,
+            s.f1, s.tp, s.fp, s.fn, perCase)
+        }
+      }
+  }
+
   /** The reference's CLI name for the recursive variant is accepted too. */
   private def canonicalAlgorithm(name: String): String =
     if (name == "r_adtributor") "rev_rec_adtributor" else name
@@ -169,7 +268,10 @@ object Runner {
     val refs = InstanceSource.instances(dataRoot, runPath)
     require(refs.nonEmpty, s"no instances under $dataRoot/$runPath")
 
-    val results = runAll(spark, dataRoot, refs, algorithm, derivedFlag, nThreads, opts)
+    val results =
+      if (opts.get("batch").exists(_.toBoolean) && algorithm != "rev_rec_adtributor")
+        runBatch(spark, dataRoot, refs, algorithm, derivedFlag, opts)
+      else runAll(spark, dataRoot, refs, algorithm, derivedFlag, nThreads, opts)
 
     import spark.implicits._
     val all = results.toDF().orderBy("dataset", "folder", "file")

@@ -93,6 +93,18 @@ class RunnerSpec extends AnyFunSuite {
     assert(lines.exists(_.contains("KPIFILTER")), lines.take(5).toString)
   }
 
+  test("--batch whole-corpus mode matches per-instance results") {
+    val refs = InstanceSource.instances(corpusRoot, "")
+    for (algo <- Seq("riskloc", "adtributor", "squeeze", "autoroot", "hotspot")) {
+      val seq = refs.map(r =>
+          Runner.runInstance(spark, corpusRoot, r, algo, derivedFlag = Some(false)))
+        .map(r => (r.file, r.tp, r.fp, r.fn)).sortBy(_._1)
+      val batch = Runner.runBatch(spark, corpusRoot, refs, algo, derivedFlag = Some(false))
+        .map(r => (r.file, r.tp, r.fp, r.fn)).sortBy(_._1)
+      assert(batch == seq, algo)
+    }
+  }
+
   test("concurrent runAll matches sequential results") {
     val refs = InstanceSource.instances(corpusRoot, "")
     val sequential = refs.map(r =>
