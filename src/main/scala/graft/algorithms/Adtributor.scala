@@ -75,7 +75,11 @@ object Adtributor {
           col("real_a"), col("predict_a"), col("real_b"), col("predict_b"),
           t("predict_a"), t("predict_b"))
         val withRaw = withTotals.withColumn("ep", raw)
-        val epTotal = withRaw.agg(sum("ep").as("__t_ep"))
+        // pandas Series.sum skips NaN terms (rows whose ratio denominator
+        // is 0 on a sub-frame); Spark's sum would propagate the NaN into
+        // every normalized ep
+        val epTotal = withRaw.agg(
+          sum(when(!isnan(col("ep")), col("ep"))).as("__t_ep"))
         withRaw.crossJoin(broadcast(epTotal))
           .withColumn("ep", col("ep") / col("__t_ep")).drop("__t_ep")
       } else
@@ -101,7 +105,9 @@ object Adtributor {
     // result (whose index is element-ascending) → tie-break element asc.
     val wDim = Window.partitionBy("dimension").orderBy(desc("surprise"), asc("element"))
     val wCum = wDim.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val passes = col("ep") > opt.teep
+    // NaN ep fails `ep > teep` in pandas; Spark orders NaN above all
+    // doubles, so the comparison needs the explicit guard
+    val passes = !isnan(col("ep")) && col("ep") > opt.teep
     val annotated = scored
       .withColumn("rn", row_number().over(wDim))
       .withColumn("cum_ep", sum(when(passes, col("ep"))).over(wCum))

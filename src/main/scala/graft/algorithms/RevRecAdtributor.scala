@@ -24,14 +24,16 @@ object RevRecAdtributor {
   /** rev_adtributor: per-dimension full candidate sets (reference :16-35). */
   private def revAdtributor(df: DataFrame, dims: Seq[String], opt: Options): Seq[Candidate] = {
     val scored = Adtributor.scoredElements(df, dims, opt.derived)
+    // NaN ep fails `ep > teep` in pandas (Spark would order NaN above all)
+    val passes = !isnan(col("ep")) && col("ep") > opt.teep
     val perDim = scored
       .groupBy("dimension")
       .agg(
-        sort_array(collect_list(when(col("ep") > opt.teep, col("element")))).as("cands"),
-        sum(when(col("ep") > opt.teep, col("ep"))).as("ep_sum"),
-        sum(when(col("ep") > opt.teep, col("surprise"))).as("surprise_sum"),
+        sort_array(collect_list(when(passes, col("element")))).as("cands"),
+        sum(when(passes, col("ep"))).as("ep_sum"),
+        sum(when(passes, col("surprise"))).as("surprise_sum"),
         count(lit(1)).as("n_total"),
-        count(when(col("ep") > opt.teep, lit(1))).as("n_cand"))
+        count(when(passes, lit(1))).as("n_cand"))
       .collect()
     val byDim = perDim.flatMap { r =>
       val dim = r.getString(0)
@@ -44,13 +46,30 @@ object RevRecAdtributor {
     dims.flatMap(byDim.get).sortBy(c => -c.surprise).take(opt.k)
   }
 
+  /** `list(set(dimensions) - set(candidate_set['dimension']))` (reference
+    * :52). The subtrahend is a STRING, so `set(...)` is the set of its
+    * CHARACTERS: only a single-character dimension name is actually
+    * removed; with multi-character names (the RS corpus) every dimension
+    * is passed down and the current one drops out naturally because its
+    * sub-frame holds a single distinct value. The result order is CPython
+    * set-difference table order (PYTHONHASHSEED=0 kernel), which decides
+    * stable-sort ties in the per-level top-k, the first-seen dedup, and
+    * the surprise scaling (merged_divide stays at the full count). */
+  private def remainingDims(dims: Seq[String], dim: String): Seq[String] = {
+    import graft.kernels.PyHash
+    PyHash.PySet.difference(
+      PyHash.PySet.of(dims, PyHash.strHash),
+      PyHash.PySet.of(dim.map(_.toString), PyHash.strHash),
+      PyHash.strHash).toList
+  }
+
   /** Full recursive drill-down (reference :38-74). */
   def run(df: DataFrame, dims: Seq[String], opt: Options = Options()): Seq[Candidate] = {
     val explanatory = revAdtributor(df, dims, opt)
 
     val expanded = explanatory.flatMap { cand =>
       val dim = cand.cuboid.head
-      val remaining = dims.filterNot(_ == dim)
+      val remaining = remainingDims(dims, dim)
       if (remaining.isEmpty) Seq(cand)
       else {
         // Recurse per candidate element; abandon the deep expansion if ANY
@@ -70,17 +89,30 @@ object RevRecAdtributor {
       }
     }
 
-    // Dedup by flattened element key, first occurrence wins (reference :6-12).
+    // Dedup by flattened element key, first occurrence wins (reference
+    // :6-12). The reference key flattens the SORTED value lists (elements
+    // hold `sorted(e + candidate)` — values ordered lexicographically,
+    // not by dimension).
     val seen = scala.collection.mutable.LinkedHashMap.empty[String, Candidate]
     expanded.foreach { c =>
-      val key = c.elements.map(_.map(_._2).mkString("")).mkString("")
+      val key = c.elements.flatMap(_.map(_._2).sorted).mkString("")
       if (!seen.contains(key)) seen(key) = c
     }
     seen.values.toSeq
   }
 
-  /** Canonical prediction strings, one per element. */
+  /** Canonical prediction strings, one per element. The reference's
+    * postprocessing (evaluation.py:52-55) zips the SORTED cuboid with the
+    * element's SORTED VALUE list positionally — values are not re-aligned
+    * to their own dimensions, so a value of one attribute can be labeled
+    * with another (observable in the RS golden). Replicated as-is. */
   def predictions(candidates: Seq[Candidate]): Seq[String] =
     Labels.canonicalPredictions(
-      candidates.flatMap(_.elements.map(_.map { case (d, v) => s"$d=$v" }.mkString("&"))))
+      candidates.flatMap { c =>
+        val dimsSorted = c.cuboid.sorted
+        c.elements.map { e =>
+          dimsSorted.zip(e.map(_._2).sorted)
+            .map { case (d, v) => s"$d=$v" }.mkString("&")
+        }
+      })
 }

@@ -63,6 +63,11 @@ object RsSweep {
       case "adtributor" =>
         Adtributor.predictions(Adtributor.run(snap, attrs,
           Adtributor.Options(derived = true)))
+      case "riskloc" =>
+        RiskLoc.predictions(RiskLoc.run(snap, attrs, RiskLoc.Options(derived = true)))
+      case "r_adtributor" =>
+        RevRecAdtributor.predictions(RevRecAdtributor.run(snap, attrs,
+          RevRecAdtributor.Options(teep = 0.2, k = 3, derived = true)))
       case other => throw new IllegalArgumentException(other)
     }
     val seconds = (System.nanoTime() - t0) / 1e9
@@ -113,6 +118,10 @@ object RsSweep {
             case "squeeze" =>
               BatchSqueeze.run(union, "instance_id", attrs.sorted,
                 Squeeze.Options(derived = true))
+            case "riskloc" =>
+              BatchRiskLoc.run(union, "instance_id", attrs,
+                  RiskLoc.Options(derived = true))
+                .view.mapValues(RiskLoc.predictions).toMap
             case "adtributor" =>
               val rows = BatchAdtributor.run(union, "instance_id", attrs,
                 Adtributor.Options(derived = true)).collect()
@@ -157,7 +166,9 @@ object RsSweep {
     val outMd = args.lift(2).getOrElse(
       if (mode == "batch") "RS_SWEEP_BATCH.md" else "RS_SWEEP.md")
     val algos = args.lift(3).map(_.split(',').toSeq)
-      .getOrElse(Seq("robustspot", "autoroot", "squeeze", "adtributor"))
+      .getOrElse(
+        if (mode == "batch") Seq("robustspot", "autoroot", "squeeze", "adtributor", "riskloc")
+        else Seq("robustspot", "autoroot", "squeeze", "adtributor", "riskloc", "r_adtributor"))
 
     val golden = readGolden(goldenPath)
     val files = golden.keys.map(_._2).toSeq.distinct.sorted

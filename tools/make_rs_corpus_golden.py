@@ -35,7 +35,7 @@ import yaml
 
 RS_DIR = "/root/reference/data/RS"
 OUT = os.path.join(os.path.dirname(__file__), "..", "src", "test", "resources", "fixtures")
-ALGOS = ["robustspot", "autoroot", "squeeze", "adtributor"]
+ALGOS = ["robustspot", "autoroot", "squeeze", "adtributor", "riskloc", "r_adtributor"]
 # CLI defaults per utils/argument_parser.py (the reference's run.py path)
 ALGO_ARGS = {
     "robustspot": {"k": 3, "lambda_amplification": 100,
@@ -44,6 +44,9 @@ ALGO_ARGS = {
     "autoroot": {"delta_threshold": 0.25},   # CLI default (function default is 0.1)
     "squeeze": {"ps_upper_bound": 0.9, "max_num_elements_single_cluster": 12},
     "adtributor": {"tep": 0.1, "teep": 0.1, "k": 3},
+    "riskloc": {"risk_threshold": 0.5, "pep_threshold": 0.02, "n_remove": 5,
+                "remove_relative": False, "prune_elements": True},
+    "r_adtributor": {"teep": 0.2, "k": 3},
 }
 
 
@@ -78,7 +81,15 @@ def main():
 
     os.makedirs(OUT, exist_ok=True)
     out_path = os.path.join(OUT, "rs_corpus_golden.tsv")
+    # merge: keep existing rows for algorithms not re-run this invocation
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            kept = [l.rstrip("\n") for l in f if l.split("\t", 1)[0] not in algos]
+    else:
+        kept = []
     with open(out_path, "w") as f:
+        for l in kept:
+            f.write(l + "\n")
         for r in rows:
             f.write("\t".join(str(x) for x in r) + "\n")
     print("wrote", out_path, flush=True)
