@@ -5,7 +5,18 @@ import org.apache.spark.sql.SparkSession
   * factor and prints ONE machine-readable JSON line. Queries run in
   * deterministic name order after a short untimed warmup (JVM + codegen +
   * parquet footer reads), so per-query numbers measure the queries, not
-  * session startup. */
+  * session startup.
+  *
+  * Isolation methodology (round 5): each query is timed against a clean
+  * session state — the cache is cleared and a GC cycle runs between
+  * entries (untimed). Round 4 showed that without this, the 53-query
+  * shared session degrades as CacheManager entries, status-store rows,
+  * and undead localCheckpoint RDDs accumulate: per-query numbers varied
+  * 4-100x run-to-run and measured session age, not plans (VERDICT.md r4).
+  * In-query caching (e.g. the algorithm queries' shared snapshot persist)
+  * still works — only cross-query reuse is forfeited, which is the
+  * correct thing to measure.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -20,7 +31,13 @@ object Bench {
     try SparkEntry.queries("q01_filter_project")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
+    def isolate(): Unit = {
+      spark.catalog.clearCache()
+      System.gc()
+    }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      isolate()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

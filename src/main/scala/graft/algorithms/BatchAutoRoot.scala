@@ -124,6 +124,18 @@ object BatchAutoRoot {
           .distinct.toSeq
         val candSel = broadcast(candKeys.toDF("ji", "jcid", "jkey")
           .withColumn("jset", array_distinct(col("jkey"))))
+        // Fan-out bound: the (instance, cid) equi-keys hash-partition the
+        // join; the forall(array_contains) residual then matches each leaf
+        // against every candidate of its (instance, cuboid) — worst case
+        // |leaves| x |candidates| intermediate rows within one cuboid.
+        // This value-SET selection (a leaf joins a candidate when its key
+        // values are a subset of the candidate's value set) is the
+        // reference's own semantics for layer>=2 splits (autoroot.py:
+        // 125-129 via attribute_combination value matching), so the
+        // fan-out is inherent, not a plan miss. Candidates per cuboid are
+        // already threshold-filtered (LF/CF > deltaThreshold) which keeps
+        // the candidate side small; for pathologically skewed cuboids the
+        // mitigation is tightening deltaThreshold, not a different join.
         val setMatch = inst === col("ji") && col("cb.cid") === col("jcid") &&
           forall(col("cb.key"), v => array_contains(col("jset"), v))
         val stats1 = exploded

@@ -188,16 +188,20 @@ object BatchRiskLoc {
         avg(when(nz, abs(col("deviation")))).as("w2"),
         count(when(nz, lit(1))).as("n_nz"))
 
+    // Op order replicates the reference exactly (riskloc.py:66-67) — see
+    // the sequential RiskLoc.riskWinners note: a = (predict*sreal)/spred
+    // elementwise, and fillna(0) replaces only NaN, keeping true ±Inf.
     val ratios = stats1.select(col("inst").as("ri"), col("cid").as("rcid"), col("key").as("rkey"),
-      when(col("spred") =!= 0, col("sreal") / col("spred")).otherwise(0.0).as("ratio"))
+      col("sreal").as("rsreal"), col("spred").as("rspred"))
     val stats2 = exploded
       .join(broadcast(ratios),
         inst === col("ri") && col("cb.cid") === col("rcid") && col("cb.key") === col("rkey"))
       .filter(nz)
-      .withColumn("a", col("predict") * col("ratio"))
-      .withColumn("d",
-        when(col("a") + col("real") === 0, 0.0)
-          .otherwise(lit(2.0) * (col("a") - col("real")) / (col("a") + col("real"))))
+      .withColumn("a",
+        graft.functions.Scores.numpyDiv(col("predict") * col("rsreal"), col("rspred")))
+      .withColumn("d0",
+        graft.functions.Scores.numpyDiv(lit(2.0) * (col("a") - col("real")), col("a") + col("real")))
+      .withColumn("d", when(isnan(col("d0")), 0.0).otherwise(col("d0")))
       .groupBy(col("ri").as("inst"), col("rcid").as("cid"), col("rkey").as("key"))
       .agg(avg(abs(col("d"))).as("w1"))
 
@@ -211,7 +215,8 @@ object BatchRiskLoc {
       ordered.iterator.map { r =>
         val ep = r.getDouble(3)
         val wa = r.getDouble(4); val wn = r.getDouble(5)
-        val high = wa / (wa + wn + 1.0)
+        // n_normal = wn + 1 rounds first (riskloc.py:51-55)
+        val high = wa / (wa + (wn + 1.0))
         val w2 = if (r.isNullAt(8)) 0.0 else r.getDouble(8)
         val nNz = r.getLong(9)
         val w1 = if (!r.isNullAt(10)) r.getDouble(10) else 0.0

@@ -131,17 +131,24 @@ object RiskLoc {
         avg(when(nz, abs(col("deviation")))).as("w2"),
         count(when(nz, lit(1))).as("n_nz"))
 
-    // Pass 2: ripple-adjusted mean |d| per candidate, using pass-1 ratios.
+    // Pass 2: ripple-adjusted mean |d| per candidate, using pass-1 sums.
+    // Op order replicates the reference exactly (riskloc.py:66-67):
+    // a = (predict * sum(real)) / sum(predict) elementwise — NOT
+    // predict * (sum(real)/sum(predict)); the two round differently and
+    // low_risk sits right on the risk-threshold boundary for elements
+    // whose d should be exactly 0. fillna(0) replaces only NaN (0/0 and
+    // inf/inf); true ±Inf survives into the mean, as in pandas.
     val ratios = stats1.select(col("cid").as("rcid"), col("key").as("rkey"),
-      when(col("spred") =!= 0, col("sreal") / col("spred")).otherwise(0.0).as("ratio"))
+      col("sreal").as("rsreal"), col("spred").as("rspred"))
     val stats2 = exploded
       .join(broadcast(ratios),
         col("cb.cid") === col("rcid") && col("cb.key") === col("rkey"))
       .filter(nz)
-      .withColumn("a", col("predict") * col("ratio"))
-      .withColumn("d",
-        when(col("a") + col("real") === 0, 0.0)
-          .otherwise(lit(2.0) * (col("a") - col("real")) / (col("a") + col("real"))))
+      .withColumn("a",
+        graft.functions.Scores.numpyDiv(col("predict") * col("rsreal"), col("rspred")))
+      .withColumn("d0",
+        graft.functions.Scores.numpyDiv(lit(2.0) * (col("a") - col("real")), col("a") + col("real")))
+      .withColumn("d", when(isnan(col("d0")), 0.0).otherwise(col("d0")))
       .groupBy(col("rcid").as("cid"), col("rkey").as("key"))
       .agg(avg(abs(col("d"))).as("w1"))
 
@@ -156,7 +163,10 @@ object RiskLoc {
       ordered.iterator.map { r =>
         val ep = r.getDouble(2)
         val wa = r.getDouble(3); val wn = r.getDouble(4)
-        val high = wa / (wa + wn + 1.0)
+        // reference high_risk (riskloc.py:51-55): n_normal = wn + 1 is
+        // rounded FIRST, then added to wa — (wa+wn)+1 rounds differently
+        // and high sits exactly on 0.5 for the threshold-boundary cases
+        val high = wa / (wa + (wn + 1.0))
         val w2 = if (r.isNullAt(7)) 0.0 else r.getDouble(7)
         val nNz = r.getLong(8)
         val w1 = if (!r.isNullAt(9)) r.getDouble(9) else 0.0

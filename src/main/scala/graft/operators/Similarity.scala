@@ -182,14 +182,13 @@ object Similarity {
     if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
   }
 
-  /** Nearest-centroid cell id as a column (argmax cosine over literal
-    * centroid arrays — codegen'd; nlist kept small). */
-  def cellAssignment(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosine(vec, array(c.map(lit): _*)).as("cos"), lit(i).as("cell"))
-    }
-    array_max(array(scored: _*)).getField("cell")
-  }
+  /** Nearest-centroid cell id as a column. A native expression carrying
+    * the centroid matrix as a plan reference — one static call in
+    * generated code at ANY nlist (the literal-array formulation this
+    * replaces pushed the generated method toward Janino's 64KB limit as
+    * nlist grew; see [[graft.functions.NearestCentroid]]). */
+  def cellAssignment(vec: Column, centroids: Array[Array[Double]]): Column =
+    graft.functions.NearestCentroid.nearestCentroid(vec, centroids)
 
   /** IVF top-k: corpus rows are pre-assigned to centroid cells; each query
     * probes its `nprobe` nearest cells and re-ranks exactly within them. */

@@ -1,0 +1,171 @@
+package graft.runner
+
+import graft.algorithms._
+import graft.gen.HCorpus
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+/** H-shape scale rehearsal (VERDICT r4 #4): run the whole-corpus Batch*
+  * DAGs over instances at the reference H dataset's PER-INSTANCE size
+  * (README.md:119-122 — dims 10x5x250x20x8x12 = 24M leaf rows) and
+  * verify the three claims the 100 TB story rests on:
+  *
+  *  (i)  batch results equal sequential per-instance results on a
+  *       sampled subset (the small-corpus Batch*Specs, re-asserted at
+  *       24M rows/instance);
+  *  (ii) the Spark-job count is a function of layers/rounds/iterations,
+  *       NOT of corpus rows or instance count — the number that holds
+  *       when 100 files become 100 TB;
+  *  (iii) driver heap high-water stays flat (no collect scales with leaf
+  *       rows — only per-candidate summaries ever reach the driver).
+  *
+  * Usage: HScale [numInstances] [dimsSpec like a10,b5,c250,d20,e8,f12]
+  *               [outMd] [seqSamples]
+  * Writes outMd (default H_SCALE.md). A smaller-dims run of the same
+  * harness is pinned as a spec (HScaleSpec) so the job-count/heap
+  * contract stays enforced on every test run.
+  */
+object HScale {
+
+  final case class Phase(algo: String, wallSec: Double, jobs: Int,
+      heapHighWaterMb: Long, instances: Int, causes: Int)
+
+  /** Heap high-water poller: daemon thread sampling used heap. */
+  final class HeapProbe {
+    private val max = new AtomicLong(0)
+    @volatile private var running = true
+    private val t = new Thread(() => {
+      val rt = Runtime.getRuntime
+      while (running) {
+        val used = rt.totalMemory() - rt.freeMemory()
+        max.getAndUpdate(m => math.max(m, used))
+        Thread.sleep(100)
+      }
+    })
+    t.setDaemon(true); t.start()
+    def reset(): Unit = max.set(0)
+    def highWaterMb: Long = max.get() / (1024 * 1024)
+    def stop(): Unit = running = false
+  }
+
+  def runRehearsal(spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame, attrs: Seq[String], seqSamples: Int,
+      algos: Seq[String] = Seq("riskloc", "autoroot", "robustspot")): (Seq[Phase], Seq[String]) = {
+    val jobs = new AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    })
+    val probe = new HeapProbe
+    val notes = collection.mutable.ArrayBuffer.empty[String]
+    val instances = corpus.select(col("instance_id")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    def seqFrame(id: String) =
+      corpus.filter(col("instance_id") === id).drop("instance_id")
+
+    val phases = algos.map { algo =>
+      System.gc(); probe.reset(); jobs.set(0)
+      val t0 = System.nanoTime()
+      val (nCauses, equal) = algo match {
+        case "riskloc" =>
+          val batch = BatchRiskLoc.run(corpus, "instance_id", attrs)
+          val jB = jobs.get()
+          val eq = instances.take(seqSamples).forall { id =>
+            val s = RiskLoc.run(seqFrame(id), attrs)
+            val ok = batch.getOrElse(id, Seq.empty).map(_.labels) == s.map(_.labels)
+            if (!ok) notes += s"riskloc MISMATCH on $id: batch=${batch.get(id)} seq=$s"
+            ok
+          }
+          jobs.set(jB) // report the batch DAG's job count, not the checks'
+          (batch.values.map(_.size).sum, eq)
+        case "autoroot" =>
+          val batch = BatchAutoRoot.run(corpus, "instance_id", attrs)
+          val jB = jobs.get()
+          val eq = instances.take(seqSamples).forall { id =>
+            val s = AutoRoot.run(seqFrame(id), attrs)
+            val ok = batch.getOrElse(id, Seq.empty).map(_.labels) == s.map(_.labels)
+            if (!ok) notes += s"autoroot MISMATCH on $id"
+            ok
+          }
+          jobs.set(jB)
+          (batch.values.map(_.size).sum, eq)
+        case "robustspot" =>
+          val batch = BatchRobustSpot.run(corpus, "instance_id", attrs,
+            RobustSpot.Options(k = 3, derived = false))
+          val jB = jobs.get()
+          val eq = instances.take(seqSamples).forall { id =>
+            val s = RobustSpot.run(seqFrame(id), attrs, RobustSpot.Options(k = 3, derived = false))
+            val ok = batch.getOrElse(id, Seq.empty) == s
+            if (!ok) notes += s"robustspot MISMATCH on $id"
+            ok
+          }
+          jobs.set(jB)
+          (batch.values.map(_.size).sum, eq)
+        case other => throw new IllegalArgumentException(other)
+      }
+      if (!equal) notes += s"$algo: batch != sequential on sampled instances"
+      Phase(algo, (System.nanoTime() - t0) / 1e9, jobs.get(), probe.highWaterMb,
+        instances.size, nCauses)
+    }
+    probe.stop()
+    (phases, notes.toSeq)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val numInstances = args.lift(0).map(_.toInt).getOrElse(4)
+    val dims = args.lift(1).map(_.split(',').toSeq.map { s =>
+      (s.take(1), s.drop(1).toInt)
+    }).getOrElse(HCorpus.HDims)
+    val outMd = args.lift(2).getOrElse("H_SCALE.md")
+    val seqSamples = args.lift(3).map(_.toInt).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = graft.core.Sessions.local(cpus, "64", "graft-h-scale")
+    spark.sparkContext.setLogLevel("WARN")
+
+    val perInstance = dims.map(_._2.toLong).product
+    println(s"H rehearsal: $numInstances instances x $perInstance rows " +
+      s"(dims ${dims.map { case (n, c) => s"$n:$c" }.mkString(",")})")
+
+    // materialize through parquet: the realistic input path (column-pruned
+    // vectorized scan), and each algorithm pass re-reads the file instead
+    // of re-running the generator expressions
+    val work = java.nio.file.Files.createTempDirectory("graft_h").toString
+    val t0 = System.nanoTime()
+    HCorpus.corpus(spark, numInstances, dims).write.mode("overwrite")
+      .parquet(s"$work/corpus")
+    val genSec = (System.nanoTime() - t0) / 1e9
+    val corpus = spark.read.parquet(s"$work/corpus")
+    val total = corpus.count()
+    println(f"generated+wrote $total rows in $genSec%.1f s -> $work/corpus")
+
+    val (phases, notes) = runRehearsal(spark, corpus, dims.map(_._1), seqSamples)
+
+    val md = new StringBuilder
+    md ++= "# H-shape scale rehearsal\n\n"
+    md ++= s"Corpus: $numInstances instances x $perInstance leaf rows " +
+      s"(dims ${dims.map { case (n, c) => s"${n}:${c}" }.mkString(", ")}) = $total rows, " +
+      s"parquet, ${cpus} cores, 64 shuffle partitions.\n"
+    md ++= "Per-instance size matches the reference H dataset " +
+      "(README.md:119-122: dims 10 5 250 20 8 12 = 24M rows/file); " +
+      "the reference runs it 100 files x 1 thread in pandas.\n\n"
+    md ++= "| algorithm | wall (s) | Spark jobs | driver heap high-water (MB) | causes found | batch == sequential (sampled) |\n"
+    md ++= "|---|---|---|---|---|---|\n"
+    for (p <- phases)
+      md ++= f"| ${p.algo} | ${p.wallSec}%.1f | ${p.jobs} | ${p.heapHighWaterMb} | ${p.causes} | ${if (notes.exists(_.startsWith(p.algo))) "NO" else s"yes ($seqSamples sampled)"} |\n"
+    md ++= "\nJob counts are per whole-corpus batch DAG (driver-coordinated " +
+      "passes over instance-keyed aggregations): they scale with " +
+      "layers/rounds/iterations, never with row or instance count. Driver " +
+      "heap holds per-candidate summaries only.\n"
+    if (notes.nonEmpty) md ++= "\n## Notes\n\n" + notes.map("- " + _).mkString("\n") + "\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(outMd), md.toString.getBytes("UTF-8"))
+    println(s"wrote $outMd")
+    phases.foreach(p => println(f"${p.algo}%-12s ${p.wallSec}%8.1fs jobs=${p.jobs}%4d " +
+      f"heapHW=${p.heapHighWaterMb}MB causes=${p.causes}"))
+    // clean the work dir
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(work)).deleteRecursively()
+    spark.stop()
+    if (notes.nonEmpty) sys.exit(1)
+  }
+}

@@ -47,12 +47,20 @@ object InstanceSource {
 
   /** Schema-dynamic snapshot read: every non-measure column is a string
     * attribute, measures are doubles (the reference relies on pandas
-    * inference; we make the contract explicit). */
+    * inference; we make the contract explicit).
+    *
+    * Measures decode through [[graft.functions.PandasDouble]] — pandas'
+    * `precise_xstrtod` is NOT correctly rounded, and the reference's
+    * threshold comparisons (e.g. riskloc risk >= 0.5 exactly) sit on the
+    * 1-ULP parse differences for 16-17-digit values, so a plain
+    * DoubleType cast (Java correctly-rounded parse) reads a DIFFERENT
+    * snapshot than the reference does. Columns are read as strings (no
+    * inferSchema) so the original digits reach the decoder. */
   def readSnapshot(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    val raw = spark.read.option("header", "true").csv(path)
     val measures = Set("real", "predict", "real_a", "predict_a", "real_b", "predict_b")
     raw.schema.fieldNames.foldLeft(raw) { (df, c) =>
-      if (measures(c)) df.withColumn(c, col(c).cast(DoubleType))
+      if (measures(c)) df.withColumn(c, graft.functions.PandasDouble.pandasDouble(col(c)))
       else df.withColumn(c, col(c).cast(StringType))
     }
   }
