@@ -125,6 +125,32 @@ object BatchHotSpot {
     result.toMap
   }
 
+  /** PARITY-mode whole-corpus HotSpot (the BatchRobustSpot parity-mode
+    * shape): reference bit-parity needs numpy pairwise sums over each
+    * instance's leaf vectors in CSV row order plus the CPython-seeded
+    * MT19937 stream, so this path runs ONE corpus-wide collection of the
+    * row-ordered leaves (a single Spark job over the union, `__row`
+    * required) and replays [[HotSpotParity.runRows]] per instance on the
+    * driver. Verification-only, like HotSpotParity itself — the scale
+    * path is [[run]] above, whose per-element decomposed aggregation
+    * keeps leaf data on the executors (same algorithm, ULP-level score
+    * differences). */
+  def runParity(df0: DataFrame, instanceCol: String, attributes: Seq[String],
+      opt: Options, seedOf: String => BigInt): Map[String, Candidate] = {
+    val inst = col(instanceCol)
+    val rows = df0
+      .select((Seq(inst.cast("string").as("__i"), col("__row")) ++
+        attributes.map(col) ++ Seq(col("real"), col("predict"))): _*)
+      .collect()
+    val n = attributes.length
+    rows.groupBy(_.getString(0)).map { case (i, rs) =>
+      val ordered = rs.sortBy(_.getLong(1))
+        .map(r => (Array.tabulate(n)(j => r.getString(2 + j)),
+          r.getDouble(2 + n), r.getDouble(3 + n)))
+      i -> HotSpotParity.runRows(ordered, attributes, opt, seedOf(i))
+    }
+  }
+
   /** Canonical per-instance prediction strings. */
   def predictions(results: Map[String, Candidate]): Map[String, Seq[String]] =
     results.view.mapValues(HotSpot.predictions).toMap

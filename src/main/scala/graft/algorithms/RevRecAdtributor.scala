@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   */
 object RevRecAdtributor {
 
-  final case class Options(teep: Double = 0.2, k: Int = 3, derived: Boolean = false)
+  final case class Options(teep: Double = 0.2, k: Int = 3, derived: Boolean = false,
+      /** Per-recursion-node score tracing for parity debugging. */
+      trace: String => Unit = _ => ())
 
   final case class Candidate(
       elements: Seq[Seq[(String, String)]], // each element: (dim, value) pairs
@@ -23,6 +25,7 @@ object RevRecAdtributor {
 
   /** rev_adtributor: per-dimension full candidate sets (reference :16-35). */
   private def revAdtributor(df: DataFrame, dims: Seq[String], opt: Options): Seq[Candidate] = {
+    opt.trace(s"NODE dims=${dims.mkString(",")}")
     val scored = Adtributor.scoredElements(df, dims, opt.derived)
     // NaN ep fails `ep > teep` in pandas (Spark would order NaN above all)
     val passes = !isnan(col("ep")) && col("ep") > opt.teep
@@ -39,6 +42,10 @@ object RevRecAdtributor {
       val dim = r.getString(0)
       val cands = r.getSeq[String](1)
       val (nTotal, nCand) = (r.getLong(4), r.getLong(5))
+      opt.trace(s"DIM $dim nTotal=$nTotal nCand=$nCand " +
+        s"ep=${if (r.isNullAt(2)) "null" else java.lang.Double.toHexString(r.getDouble(2))} " +
+        s"surprise=${if (r.isNullAt(3)) "null" else java.lang.Double.toHexString(r.getDouble(3))} " +
+        s"cands=${cands.mkString(",")}")
       if (nCand > 0 && nCand < nTotal)
         Some(dim -> Candidate(cands.map(e => Seq(dim -> e)), Seq(dim), r.getDouble(2), r.getDouble(3)))
       else None
@@ -55,7 +62,7 @@ object RevRecAdtributor {
     * set-difference table order (PYTHONHASHSEED=0 kernel), which decides
     * stable-sort ties in the per-level top-k, the first-seen dedup, and
     * the surprise scaling (merged_divide stays at the full count). */
-  private def remainingDims(dims: Seq[String], dim: String): Seq[String] = {
+  private[algorithms] def remainingDims(dims: Seq[String], dim: String): Seq[String] = {
     import graft.kernels.PyHash
     PyHash.PySet.difference(
       PyHash.PySet.of(dims, PyHash.strHash),

@@ -28,6 +28,15 @@ object RsSweep {
   final case class CaseResult(algo: String, file: String, label: String,
       preds: Seq[String], tp: Int, fp: Int, fn: Int, seconds: Double)
 
+  /** HotSpot MCTS seed protocol for RS cases: CPython
+    * `random.seed(zlib.crc32(name))` on the reference side (case names
+    * are not ints, unlike the generated corpus) — same CRC here. */
+  def crc32Seed(file: String): Long = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(file.getBytes("UTF-8"))
+    crc.getValue
+  }
+
   final case class Golden(label: String, preds: Seq[String],
       tp: Int, fp: Int, fn: Int, f1: Double)
 
@@ -45,7 +54,7 @@ object RsSweep {
     val raw = RsSource.readRaw(spark, s"$rsDir/$file.csv")
     // robustspot's knee parity needs the CSV row order (see RobustSpot doc)
     val snap = RsSource.snapshot(raw, anomaly.timestamp,
-      withRowIndex = algo == "robustspot")
+      withRowIndex = algo == "robustspot" || algo == "hotspot")
     val attrs = RsSource.attributesOf(raw)
     val t0 = System.nanoTime()
     val preds: Seq[String] = algo match {
@@ -68,6 +77,12 @@ object RsSweep {
       case "r_adtributor" =>
         RevRecAdtributor.predictions(RevRecAdtributor.run(snap, attrs,
           RevRecAdtributor.Options(teep = 0.2, k = 3, derived = true)))
+      case "hotspot" =>
+        // golden protocol: random.seed(crc32(case_name)) per run
+        // (tools/make_rs_corpus_golden.py); parity replay needs CSV row
+        // order (__row) for CPython set-order + numpy pairwise sums
+        HotSpot.predictions(HotSpotParity.run(snap, attrs,
+          HotSpot.Options(), BigInt(RsSweep.crc32Seed(file))))
       case other => throw new IllegalArgumentException(other)
     }
     val seconds = (System.nanoTime() - t0) / 1e9
@@ -104,7 +119,7 @@ object RsSweep {
           // the production shape, where the corpus is one written table.
           val union = group.map { case (f, anomaly, raw, _) =>
             RsSource.snapshot(raw, anomaly.timestamp,
-              withRowIndex = algo == "robustspot")
+              withRowIndex = algo == "robustspot" || algo == "hotspot")
               .withColumn("instance_id", lit(f))
           }.reduce(_ unionByName _).localCheckpoint(true)
           val got: Map[String, Seq[String]] = algo match {
@@ -122,6 +137,16 @@ object RsSweep {
               BatchRiskLoc.run(union, "instance_id", attrs,
                   RiskLoc.Options(derived = true))
                 .view.mapValues(RiskLoc.predictions).toMap
+            case "r_adtributor" =>
+              BatchRevRecAdtributor.predictions(
+                BatchRevRecAdtributor.run(union, "instance_id", attrs,
+                  RevRecAdtributor.Options(teep = 0.2, k = 3, derived = true)))
+            case "hotspot" =>
+              // parity-mode batch (BatchRobustSpot's __row shape): one
+              // corpus-wide collection pass + per-instance MT19937 replay
+              // with the golden's crc32 seed protocol
+              BatchHotSpot.predictions(BatchHotSpot.runParity(union, "instance_id",
+                attrs, HotSpot.Options(), f => BigInt(crc32Seed(f))))
             case "adtributor" =>
               val rows = BatchAdtributor.run(union, "instance_id", attrs,
                 Adtributor.Options(derived = true)).collect()
@@ -167,8 +192,10 @@ object RsSweep {
       if (mode == "batch") "RS_SWEEP_BATCH.md" else "RS_SWEEP.md")
     val algos = args.lift(3).map(_.split(',').toSeq)
       .getOrElse(
-        if (mode == "batch") Seq("robustspot", "autoroot", "squeeze", "adtributor", "riskloc")
-        else Seq("robustspot", "autoroot", "squeeze", "adtributor", "riskloc", "r_adtributor"))
+        if (mode == "batch") Seq("robustspot", "autoroot", "squeeze", "adtributor",
+          "riskloc", "r_adtributor", "hotspot")
+        else Seq("robustspot", "autoroot", "squeeze", "adtributor", "riskloc",
+          "r_adtributor", "hotspot"))
 
     val golden = readGolden(goldenPath)
     val files = golden.keys.map(_._2).toSeq.distinct.sorted

@@ -6,9 +6,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Whole-corpus parity: the engine reproduces the reference
   * implementation's EXACT per-case prediction sets on the reference's
-  * bundled 135-case RS production corpus for all six derived-capable
-  * algorithms (robustspot / autoroot / squeeze / adtributor / riskloc /
-  * recursive adtributor)
+  * bundled 135-case RS production corpus for all seven algorithms
+  * (robustspot / autoroot / squeeze / adtributor / riskloc /
+  * recursive adtributor / hotspot — the latter under the
+  * random.seed(crc32(case)) MCTS protocol)
   * (golden: fixtures/rs_corpus_golden.tsv, the reference's own output
   * under PYTHONHASHSEED=0 + scalar numpy kernels — see
   * tools/make_rs_corpus_golden.py).
@@ -37,7 +38,7 @@ class RsCorpusSweepSpec extends AnyFunSuite {
   private lazy val golden = RsSweep.readGolden(goldenPath)
 
   for (algo <- Seq("robustspot", "autoroot", "squeeze", "adtributor",
-      "riskloc", "r_adtributor")) {
+      "riskloc", "r_adtributor", "hotspot")) {
     test(s"$algo matches the reference exactly on the stratified corpus subset") {
       assume(new java.io.File(s"$rsDir/anomaly.yaml").exists(), "reference corpus not mounted")
       for (file <- cases) {

@@ -35,7 +35,8 @@ import yaml
 
 RS_DIR = "/root/reference/data/RS"
 OUT = os.path.join(os.path.dirname(__file__), "..", "src", "test", "resources", "fixtures")
-ALGOS = ["robustspot", "autoroot", "squeeze", "adtributor", "riskloc", "r_adtributor"]
+ALGOS = ["robustspot", "autoroot", "squeeze", "adtributor", "riskloc",
+         "r_adtributor", "hotspot"]
 # CLI defaults per utils/argument_parser.py (the reference's run.py path)
 ALGO_ARGS = {
     "robustspot": {"k": 3, "lambda_amplification": 100,
@@ -47,6 +48,10 @@ ALGO_ARGS = {
     "riskloc": {"risk_threshold": 0.5, "pep_threshold": 0.02, "n_remove": 5,
                 "remove_relative": False, "prune_elements": True},
     "r_adtributor": {"teep": 0.2, "k": 3},
+    # stochastic MCTS: random.seed(crc32(case_name)) before each run (RS
+    # case names are not ints, unlike the generated corpus's) — the
+    # engine's MT19937 port (HotSpotParity) replays the stream bit-for-bit
+    "hotspot": {"pt": 0.8, "m": 200, "scoring": "gps"},
 }
 
 
@@ -62,6 +67,9 @@ def main():
         for i, anomaly in enumerate(cases):
             file = anomaly["data"]
             df, attributes, df_a, df_b = read_rs_dataframe(RS_DIR, file)
+            if algo == "hotspot":
+                import random, zlib
+                random.seed(zlib.crc32(file.encode("utf-8")))
             rcs = run_method(df, [df_a, df_b], attributes, algo, ALGO_ARGS[algo],
                              derived=True, debug=False)
             preds = root_cause_postprocessing(rcs, algo)
