@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.algorithms.{Adtributor, AutoRoot, BatchAutoRoot, BatchHotSpot, BatchRiskLoc, BatchRobustSpot, BatchSqueeze, HotSpot, RevRecAdtributor, RiskLoc, RobustSpot, Squeeze}
+import graft.algorithms.{Adtributor, AutoRoot, BatchAutoRoot, BatchHotSpot, BatchRevRecAdtributor, BatchRiskLoc, BatchRobustSpot, BatchSqueeze, HotSpot, RevRecAdtributor, RiskLoc, RobustSpot, Squeeze}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -162,6 +162,16 @@ object AlgorithmQueries {
           c.cuboid.mkString(","), c.layer, math.floor(c.score * 1e6) / 1e6)
       }.toDF("instance_id", "elements", "cuboid", "layer", "score")
         .orderBy("instance_id")
+    },
+
+    GateQuery.rowsOnly("q67_batch_revrec") { (s, dir) =>
+      import s.implicits._
+      val found = BatchRevRecAdtributor.predictions(
+        BatchRevRecAdtributor.run(anomalousCorpus(s, dir), "instance_id", attrs,
+          RevRecAdtributor.Options(teep = 0.1)))
+      found.toSeq.flatMap { case (inst, preds) => preds.map(inst -> _) }
+        .toDF("instance_id", "root_cause")
+        .orderBy("instance_id", "root_cause")
     },
   )
 }
