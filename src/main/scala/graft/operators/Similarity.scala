@@ -190,24 +190,25 @@ object Similarity {
   def cellAssignment(vec: Column, centroids: Array[Array[Double]]): Column =
     graft.functions.NearestCentroid.nearestCentroid(vec, centroids)
 
-  /** IVF top-k: corpus rows are pre-assigned to centroid cells; each query
-    * probes its `nprobe` nearest cells and re-ranks exactly within them. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, centroids: Array[Array[Double]], nprobe: Int = 3): DataFrame = {
-    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      cellAssignment(col(vecCol), centroids).as("cell"))
-    // nprobe nearest cells per query, as exploded (query, cell) rows
+  /** `nprobe` nearest cells per query, as exploded (query_id, qv, cell)
+    * rows — at most queries × nprobe rows, at most nlist distinct cells. */
+  private def probeCells(queries: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
     val cellScores = centroids.zipWithIndex.map { case (c, i) =>
       struct(cosine(col("qv"), array(c.map(lit): _*)).as("cos"), lit(i).as("cell"))
     }
-    val probed = queries
+    queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         slice(array_sort(array(cellScores: _*),
           (l, r) => when(l.getField("cos") > r.getField("cos"), -1)
             .when(l.getField("cos") < r.getField("cos"), 1).otherwise(0)),
           1, nprobe).as("cells"))
       .select(col("query_id"), col("qv"), explode(col("cells").getField("cell")).as("cell"))
+  }
 
+  /** Exact cosine re-rank of (query, cell)-matched candidates. `assigned`
+    * must have columns (neighbor_id, cv, cell). */
+  private def rerank(probed: DataFrame, assigned: DataFrame, k: Int): DataFrame =
     probed.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
@@ -215,5 +216,40 @@ object Similarity {
         Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")
+
+  /** IVF top-k: corpus rows are pre-assigned to centroid cells; each query
+    * probes its `nprobe` nearest cells and re-ranks exactly within them. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, centroids: Array[Array[Double]], nprobe: Int = 3): DataFrame = {
+    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      cellAssignment(col(vecCol), centroids).as("cell"))
+    rerank(probeCells(queries, idCol, vecCol, centroids, nprobe), assigned, k)
+  }
+
+  /** Materialize the cell assignment as a corpus partitioned on disk by
+    * `cell` — the write side of the IVF scale path. */
+  def writeAssigned(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], path: String): Unit =
+    corpus.select(col(idCol), col(vecCol),
+        cellAssignment(col(vecCol), centroids).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** IVF top-k over a corpus written with [[writeAssigned]] (one parquet
+    * partition directory per cell): the probed cells are resolved first —
+    * a bounded driver-side set, ≤ min(queries × nprobe, nlist) values —
+    * and pushed into the scan as a partition filter, so only the probed
+    * cells' directories are ever read (the scan's PartitionFilters prunes
+    * to |probed cells| of nlist partitions; IvfPruningSpec asserts this
+    * on the executed plan). Results are identical to [[ivfTopK]] with the
+    * same centroids. */
+  def ivfTopKPartitioned(assigned: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Array[Array[Double]],
+      nprobe: Int = 3): DataFrame = {
+    val probed = probeCells(queries, idCol, vecCol, centroids, nprobe)
+    val cells = probed.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val pruned = assigned
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cell"))
+    rerank(probed, pruned, k)
   }
 }

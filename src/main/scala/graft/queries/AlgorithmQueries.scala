@@ -16,9 +16,12 @@ object AlgorithmQueries {
   /** Snapshot with a known injected anomaly. predict carries ±2.5%
     * value-hash noise so deviations spread as in real forecasts.
     * Persisted: the localization loops run dozens of actions over this
-    * ~150-leaf frame — Spark's cache manager dedupes by logical plan, so
-    * every algorithm query in a session shares one materialization of the
-    * underlying lineitem aggregation. */
+    * ~150-leaf frame, and the persist makes them hit one materialization
+    * instead of re-aggregating lineitem each time. Within a session the
+    * cache manager also dedupes by logical plan across queries, but the
+    * bench harness calls clearCache() between queries for isolation, so
+    * under Bench each gate query re-materializes the snapshot (that cost
+    * is part of each query's measured time). */
   def anomalousSnapshot(s: SparkSession, dir: String): DataFrame =
     ScoreQueries.snapshot(s, dir)
       .select(col("rf"), col("ls"), col("brand"),

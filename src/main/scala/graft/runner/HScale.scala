@@ -22,15 +22,20 @@ import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
   *       rows — only per-candidate summaries ever reach the driver).
   *
   * Usage: HScale [numInstances] [dimsSpec like a10,b5,c250,d20,e8,f12]
-  *               [outMd] [seqSamples]
+  *               [outMd] [seqSamples] [algosCsv]
   * Writes outMd (default H_SCALE.md). A smaller-dims run of the same
-  * harness is pinned as a spec (HScaleSpec) so the job-count/heap
-  * contract stays enforced on every test run.
+  * harness is pinned as a spec (HScaleSpec) so the job-count contract
+  * stays enforced on every test run.
   */
 object HScale {
 
-  final case class Phase(algo: String, wallSec: Double, jobs: Int,
-      heapHighWaterMb: Long, instances: Int, causes: Int)
+  /** All seven whole-corpus batch DAGs. */
+  val allAlgos: Seq[String] =
+    Seq("riskloc", "autoroot", "robustspot", "squeeze", "adtributor",
+      "revrec", "hotspot")
+
+  final case class Phase(algo: String, wallSec: Double, checkSec: Double,
+      jobs: Int, heapHighWaterMb: Long, instances: Int, causes: Int)
 
   /** Heap high-water poller: daemon thread sampling used heap. */
   final class HeapProbe {
@@ -52,64 +57,125 @@ object HScale {
 
   def runRehearsal(spark: org.apache.spark.sql.SparkSession,
       corpus: DataFrame, attrs: Seq[String], seqSamples: Int,
-      algos: Seq[String] = Seq("riskloc", "autoroot", "robustspot")): (Seq[Phase], Seq[String]) = {
+      algos: Seq[String] = allAlgos): (Seq[Phase], Seq[String]) = {
     val jobs = new AtomicInteger(0)
-    spark.sparkContext.addSparkListener(new SparkListener {
+    val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
-    })
-    val probe = new HeapProbe
-    val notes = collection.mutable.ArrayBuffer.empty[String]
-    val instances = corpus.select(col("instance_id")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
-    def seqFrame(id: String) =
-      corpus.filter(col("instance_id") === id).drop("instance_id")
-
-    val phases = algos.map { algo =>
-      System.gc(); probe.reset(); jobs.set(0)
-      val t0 = System.nanoTime()
-      val (nCauses, equal) = algo match {
-        case "riskloc" =>
-          val batch = BatchRiskLoc.run(corpus, "instance_id", attrs)
-          val jB = jobs.get()
-          val eq = instances.take(seqSamples).forall { id =>
-            val s = RiskLoc.run(seqFrame(id), attrs)
-            val ok = batch.getOrElse(id, Seq.empty).map(_.labels) == s.map(_.labels)
-            if (!ok) notes += s"riskloc MISMATCH on $id: batch=${batch.get(id)} seq=$s"
-            ok
-          }
-          jobs.set(jB) // report the batch DAG's job count, not the checks'
-          (batch.values.map(_.size).sum, eq)
-        case "autoroot" =>
-          val batch = BatchAutoRoot.run(corpus, "instance_id", attrs)
-          val jB = jobs.get()
-          val eq = instances.take(seqSamples).forall { id =>
-            val s = AutoRoot.run(seqFrame(id), attrs)
-            val ok = batch.getOrElse(id, Seq.empty).map(_.labels) == s.map(_.labels)
-            if (!ok) notes += s"autoroot MISMATCH on $id"
-            ok
-          }
-          jobs.set(jB)
-          (batch.values.map(_.size).sum, eq)
-        case "robustspot" =>
-          val batch = BatchRobustSpot.run(corpus, "instance_id", attrs,
-            RobustSpot.Options(k = 3, derived = false))
-          val jB = jobs.get()
-          val eq = instances.take(seqSamples).forall { id =>
-            val s = RobustSpot.run(seqFrame(id), attrs, RobustSpot.Options(k = 3, derived = false))
-            val ok = batch.getOrElse(id, Seq.empty) == s
-            if (!ok) notes += s"robustspot MISMATCH on $id"
-            ok
-          }
-          jobs.set(jB)
-          (batch.values.map(_.size).sum, eq)
-        case other => throw new IllegalArgumentException(other)
-      }
-      if (!equal) notes += s"$algo: batch != sequential on sampled instances"
-      Phase(algo, (System.nanoTime() - t0) / 1e9, jobs.get(), probe.highWaterMb,
-        instances.size, nCauses)
     }
-    probe.stop()
-    (phases, notes.toSeq)
+    spark.sparkContext.addSparkListener(listener)
+    val probe = new HeapProbe
+    try {
+      val notes = collection.mutable.ArrayBuffer.empty[String]
+      val instances = corpus.select(col("instance_id")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      val sampled = instances.take(seqSamples)
+      def seqFrame(id: String) =
+        corpus.filter(col("instance_id") === id).drop("instance_id")
+
+      // the listener bus is async: settle (counter unchanged across a
+      // poll interval) before trusting a snapshot of the job counter
+      def settle(): Int = {
+        var prev = -1
+        var cur = jobs.get()
+        while (cur != prev) { Thread.sleep(150); prev = cur; cur = jobs.get() }
+        cur
+      }
+      // job count + wall of `body` alone (excludes the sequential checks)
+      def timed[T](body: => T): (T, Int, Double) = {
+        settle(); jobs.set(0)
+        val t0 = System.nanoTime()
+        val r = body
+        val w = (System.nanoTime() - t0) / 1e9
+        (r, settle(), w)
+      }
+
+      val phases = algos.map { algo =>
+        System.gc(); probe.reset()
+        val tC = System.nanoTime()
+        val (nCauses, jB, wall, equal) = algo match {
+          case "riskloc" =>
+            val (batch, j, w) = timed(BatchRiskLoc.run(corpus, "instance_id", attrs))
+            val eq = sampled.forall { id =>
+              val s = RiskLoc.run(seqFrame(id), attrs)
+              val ok = batch.getOrElse(id, Seq.empty).map(_.labels) == s.map(_.labels)
+              if (!ok) notes += s"riskloc MISMATCH on $id: batch=${batch.get(id)} seq=$s"
+              ok
+            }
+            (batch.values.map(_.size).sum, j, w, eq)
+          case "autoroot" =>
+            val (batch, j, w) = timed(BatchAutoRoot.run(corpus, "instance_id", attrs))
+            val eq = sampled.forall { id =>
+              val s = AutoRoot.run(seqFrame(id), attrs)
+              val ok = batch.getOrElse(id, Seq.empty).map(_.labels) == s.map(_.labels)
+              if (!ok) notes += s"autoroot MISMATCH on $id"
+              ok
+            }
+            (batch.values.map(_.size).sum, j, w, eq)
+          case "robustspot" =>
+            val opt = RobustSpot.Options(k = 3, derived = false)
+            val (batch, j, w) = timed(BatchRobustSpot.run(corpus, "instance_id", attrs, opt))
+            val eq = sampled.forall { id =>
+              val s = RobustSpot.run(seqFrame(id), attrs, opt)
+              val ok = batch.getOrElse(id, Seq.empty) == s
+              if (!ok) notes += s"robustspot MISMATCH on $id"
+              ok
+            }
+            (batch.values.map(_.size).sum, j, w, eq)
+          case "squeeze" =>
+            val (batch, j, w) = timed(BatchSqueeze.run(corpus, "instance_id", attrs))
+            val eq = sampled.forall { id =>
+              val s = Squeeze.run(seqFrame(id), attrs)
+              val ok = batch.getOrElse(id, Seq.empty) == s
+              if (!ok) notes += s"squeeze MISMATCH on $id"
+              ok
+            }
+            (batch.values.map(_.size).sum, j, w, eq)
+          case "adtributor" =>
+            val (rows, j, w) = timed(
+              BatchAdtributor.run(corpus, "instance_id", attrs).collect())
+            val byId = rows.groupBy(_.getString(0)).map { case (id, rs) =>
+              id -> rs.sortBy(_.getInt(rs.head.fieldIndex("rank")))
+                .map(r => (r.getString(1), r.getSeq[String](2).toSeq)).toSeq
+            }
+            val eq = sampled.forall { id =>
+              val s = Adtributor.run(seqFrame(id), attrs)
+                .map(c => (c.dimension, c.elements))
+              val ok = byId.getOrElse(id, Seq.empty) == s
+              if (!ok) notes += s"adtributor MISMATCH on $id"
+              ok
+            }
+            (rows.length, j, w, eq)
+          case "revrec" =>
+            val (batch, j, w) = timed(
+              BatchRevRecAdtributor.run(corpus, "instance_id", attrs))
+            val eq = sampled.forall { id =>
+              val s = RevRecAdtributor.run(seqFrame(id), attrs)
+              val ok = RevRecAdtributor.predictions(batch.getOrElse(id, Seq.empty)).sorted ==
+                RevRecAdtributor.predictions(s).sorted
+              if (!ok) notes += s"revrec MISMATCH on $id"
+              ok
+            }
+            (batch.values.map(_.size).sum, j, w, eq)
+          case "hotspot" =>
+            val (batch, j, w) = timed(BatchHotSpot.run(corpus, "instance_id", attrs))
+            val eq = sampled.forall { id =>
+              val s = HotSpot.run(seqFrame(id), attrs)
+              val ok = batch.get(id).contains(s)
+              if (!ok) notes += s"hotspot MISMATCH on $id"
+              ok
+            }
+            (batch.size, j, w, eq)
+          case other => throw new IllegalArgumentException(other)
+        }
+        if (!equal) notes += s"$algo: batch != sequential on sampled instances"
+        val checkSec = (System.nanoTime() - tC) / 1e9 - wall
+        Phase(algo, wall, checkSec, jB, probe.highWaterMb, instances.size, nCauses)
+      }
+      (phases, notes.toSeq)
+    } finally {
+      probe.stop()
+      spark.sparkContext.removeSparkListener(listener)
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -119,6 +185,7 @@ object HScale {
     }).getOrElse(HCorpus.HDims)
     val outMd = args.lift(2).getOrElse("H_SCALE.md")
     val seqSamples = args.lift(3).map(_.toInt).getOrElse(2)
+    val algos = args.lift(4).map(_.split(',').toSeq).getOrElse(allAlgos)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = graft.core.Sessions.local(cpus, "64", "graft-h-scale")
     spark.sparkContext.setLogLevel("WARN")
@@ -139,7 +206,7 @@ object HScale {
     val total = corpus.count()
     println(f"generated+wrote $total rows in $genSec%.1f s -> $work/corpus")
 
-    val (phases, notes) = runRehearsal(spark, corpus, dims.map(_._1), seqSamples)
+    val (phases, notes) = runRehearsal(spark, corpus, dims.map(_._1), seqSamples, algos)
 
     val md = new StringBuilder
     md ++= "# H-shape scale rehearsal\n\n"
@@ -149,10 +216,10 @@ object HScale {
     md ++= "Per-instance size matches the reference H dataset " +
       "(README.md:119-122: dims 10 5 250 20 8 12 = 24M rows/file); " +
       "the reference runs it 100 files x 1 thread in pandas.\n\n"
-    md ++= "| algorithm | wall (s) | Spark jobs | driver heap high-water (MB) | causes found | batch == sequential (sampled) |\n"
-    md ++= "|---|---|---|---|---|---|\n"
+    md ++= "| algorithm | batch wall (s) | seq-check wall (s) | Spark jobs (batch) | driver heap high-water (MB) | causes found | batch == sequential (sampled) |\n"
+    md ++= "|---|---|---|---|---|---|---|\n"
     for (p <- phases)
-      md ++= f"| ${p.algo} | ${p.wallSec}%.1f | ${p.jobs} | ${p.heapHighWaterMb} | ${p.causes} | ${if (notes.exists(_.startsWith(p.algo))) "NO" else s"yes ($seqSamples sampled)"} |\n"
+      md ++= f"| ${p.algo} | ${p.wallSec}%.1f | ${p.checkSec}%.1f | ${p.jobs} | ${p.heapHighWaterMb} | ${p.causes} | ${if (notes.exists(_.startsWith(p.algo))) "NO" else s"yes ($seqSamples sampled)"} |\n"
     md ++= "\nJob counts are per whole-corpus batch DAG (driver-coordinated " +
       "passes over instance-keyed aggregations): they scale with " +
       "layers/rounds/iterations, never with row or instance count. Driver " +
@@ -160,8 +227,8 @@ object HScale {
     if (notes.nonEmpty) md ++= "\n## Notes\n\n" + notes.map("- " + _).mkString("\n") + "\n"
     java.nio.file.Files.write(java.nio.file.Paths.get(outMd), md.toString.getBytes("UTF-8"))
     println(s"wrote $outMd")
-    phases.foreach(p => println(f"${p.algo}%-12s ${p.wallSec}%8.1fs jobs=${p.jobs}%4d " +
-      f"heapHW=${p.heapHighWaterMb}MB causes=${p.causes}"))
+    phases.foreach(p => println(f"${p.algo}%-12s ${p.wallSec}%8.1fs (+${p.checkSec}%.1fs checks) " +
+      f"jobs=${p.jobs}%4d heapHW=${p.heapHighWaterMb}MB causes=${p.causes}"))
     // clean the work dir
     import scala.reflect.io.Directory
     new Directory(new java.io.File(work)).deleteRecursively()

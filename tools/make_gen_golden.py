@@ -28,12 +28,17 @@ from utils.run_utils import run_method, get_label
 from utils.evaluation import root_cause_postprocessing, score_root_causes
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-CORPUS = os.path.join(HERE, "..", "src", "test", "resources", "gen_corpus")
-OUT = os.path.join(HERE, "..", "src", "test", "resources", "fixtures", "gen_corpus_golden.tsv")
+# overridable for the wide sweep (runner.GenSweep / GEN_SWEEP.md)
+CORPUS = os.environ.get("GEN_SWEEP_CORPUS",
+    os.path.join(HERE, "..", "src", "test", "resources", "gen_corpus"))
+OUT = os.environ.get("GEN_SWEEP_OUT",
+    os.path.join(HERE, "..", "src", "test", "resources", "fixtures", "gen_corpus_golden.tsv"))
+ALGOS = os.environ.get("GEN_SWEEP_ALGOS", "")  # empty = all
 # CLI defaults (utils/argument_parser.py); S-style corpora are NOT derived
 ALGO_ARGS = {
     "riskloc": {"risk_threshold": 0.5, "pep_threshold": 0.02, "prune_elements": True},
     "autoroot": {"delta_threshold": 0.25},
+    "r_adtributor": {"teep": 0.2, "k": 3},
     "squeeze": {"ps_upper_bound": 0.9, "max_num_elements_single_cluster": 12},
     "adtributor": {"tep": 0.1, "teep": 0.1, "k": 3},
     "robustspot": {"k": 3, "lambda_amplification": 100,
@@ -48,8 +53,9 @@ ALGO_ARGS = {
 def main():
     files = sorted(f[:-4] for f in os.listdir(CORPUS)
                    if f.endswith(".csv") and f != "injection_info.csv")
+    algos = [a for a in ALGOS.split(",") if a] or list(ALGO_ARGS)
     rows = []
-    for algo, algo_args in ALGO_ARGS.items():
+    for algo, algo_args in ((a, ALGO_ARGS[a]) for a in algos):
         t0 = time.time()
         for file in files:
             if algo == "hotspot":
