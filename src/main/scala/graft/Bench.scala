@@ -16,12 +16,68 @@ import org.apache.spark.sql.SparkSession
   * In-query caching (e.g. the algorithm queries' shared snapshot persist)
   * still works — only cross-query reuse is forfeited, which is the
   * correct thing to measure.
+  *
+  * Repeat + calibration methodology (round 7, VERDICT r6 #1): round 6
+  * showed same-code same-box runs disagreeing up to 3.2x on single
+  * queries — one timing per query measures scheduler/GC/box weather as
+  * much as the plan. Two fixes:
+  *
+  *  1. Each query runs `BENCH_REPEATS` times (default 3) and the JSON
+  *     reports the per-query MEDIAN (the headline `queries`/total) and
+  *     MIN (`queries_min`/`total_min`, the box-noise floor).
+  *  2. A fixed-work single-threaded CPU probe (xorshift fill + sort +
+  *     sum of an 8M-long array, deterministic) runs before and after the
+  *     query loop, median-of-3 each. The JSON carries the measured
+  *     seconds plus the committed reference value (`CalibRef`, measured
+  *     on an idle round-7 box); `calib_ratio` = measured/ref makes box
+  *     drift visible and normalizable, and `calib_ok:false` (plus a
+  *     stderr warning) flags any run where the box is >1.3x off the
+  *     reference — such a run cannot support a regression verdict.
   */
 object Bench {
+
+  /** Fixed-work single-threaded CPU probe: fill 8M longs via xorshift64,
+    * sort, sum. Deterministic work, allocation-light, ~1s on the
+    * reference box. Returns seconds. */
+  def calibOnce(): Double = {
+    val n = 8 * 1024 * 1024
+    val a = new Array[Long](n)
+    var x = 0x9E3779B97F4A7C15L
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < n) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      a(i) = x
+      i += 1
+    }
+    java.util.Arrays.sort(a)
+    var s = 0L
+    i = 0
+    while (i < n) { s += a(i); i += 1 }
+    if (s == 42L) println("") // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  def calibMedian(): Double = median((1 to 3).map(_ => calibOnce()))
+
+  /** Committed reference for the calibration probe, measured on an idle
+    * round-7 box (median-of-3; see BENCH_METHOD.md). */
+  val CalibRef = 0.80
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val repeats = sys.env.getOrElse("BENCH_REPEATS", "3").toInt
     val spark = graft.core.Sessions.local(cpus, cpus, "graft-bench")
+
+    val calibBefore = calibMedian()
 
     // warmup: touch every table and run one trivial codegen'd plan
     graft.core.Tables.names.foreach { t =>
@@ -37,15 +93,29 @@ object Bench {
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      isolate()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to repeats).map { _ =>
+        isolate()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val calibAfter = calibMedian()
+    val calib = math.min(calibBefore, calibAfter)
+    val calibRatio = calib / CalibRef
+    val calibOk = calibRatio <= 1.3
+    if (!calibOk)
+      System.err.println(f"BENCH CALIBRATION FAILURE: probe $calib%.3fs vs " +
+        f"reference $CalibRef%.3fs (ratio $calibRatio%.2fx > 1.3x) — box is " +
+        "not at reference speed; timings below cannot support a regression verdict")
+
+    def jmap(f: Seq[Double] => Double) = results
+      .map { case (k, ts) => s"\"" + k + "\":" + f(ts) }.mkString("{", ",", "}")
+    val total = results.map { case (_, ts) => median(ts) }.sum
+    val totalMin = results.map { case (_, ts) => ts.min }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"median-of-$repeats","queries":${jmap(median)},"queries_min":${jmap(_.min)},"total_min":$totalMin,"calib_sec":$calib,"calib_before":$calibBefore,"calib_after":$calibAfter,"calib_ref":$CalibRef,"calib_ratio":$calibRatio,"calib_ok":$calibOk,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

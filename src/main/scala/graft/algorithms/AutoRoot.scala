@@ -70,8 +70,11 @@ object AutoRoot {
 
     for (layer <- 1 to attributes.size) {
       val cuboids = attributes.combinations(layer).toSeq
+      // NOT persisted: the explode is a narrow projection of a cached
+      // parent multiplied by the cuboid count; caching that blowup spills
+      // at H scale (block-manager eviction lock pileup, VERDICT r7) while
+      // recomputing it per consuming pass is map-side CPU only.
       val exploded = Cuboids.expand(withCluster, cuboids)
-        .persist(StorageLevel.MEMORY_AND_DISK)
 
       // counts: y per element; x per (element, cluster)
       val xAggs = clusters.map(k => count(when(col("cluster") === k, lit(1))).as(s"x_$k"))
@@ -173,7 +176,7 @@ object AutoRoot {
           }
         }
       }
-      cands.unpersist(); counts.unpersist(); exploded.unpersist()
+      cands.unpersist(); counts.unpersist()
     }
 
     withCluster.unpersist(); df.unpersist()

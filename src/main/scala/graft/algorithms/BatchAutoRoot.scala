@@ -89,8 +89,11 @@ object BatchAutoRoot {
 
     for (layer <- 1 to attributes.size) {
       val cuboids = attributes.combinations(layer).toSeq
+      // NOT persisted: the explode is a narrow projection of a cached
+      // parent multiplied by the cuboid count; caching that blowup spills
+      // at H scale (block-manager eviction lock pileup, VERDICT r7) while
+      // recomputing it per consuming pass is map-side CPU only.
       val exploded = Cuboids.expand(expandBase, cuboids)
-        .persist(StorageLevel.MEMORY_AND_DISK)
 
       // y per (instance, element); x per (instance, element, cluster) —
       // the long form of the single-instance x_k pivot (cluster ids are
@@ -203,7 +206,7 @@ object BatchAutoRoot {
           }
         }
       }
-      counts.unpersist(); exploded.unpersist()
+      counts.unpersist()
     }
 
     expandBase.unpersist(); withCluster.unpersist(); df.unpersist()

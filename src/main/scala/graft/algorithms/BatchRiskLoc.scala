@@ -246,8 +246,12 @@ object BatchRiskLoc {
 
     // ---- stage 1: layer 1 for all instances
     val layer1 = attributes.map(Seq(_)).zipWithIndex
+    // NOT persisted: the explode is a narrow projection of the cached
+    // scored frame multiplied by the cuboid count; at the H shape (24M
+    // rows/instance, 6 attrs) caching it spills and deadlocks the block
+    // manager under 32-way eviction (observed r7) — recomputing per pass
+    // is map-side CPU only.
     val exploded1 = expand(df, instanceCol, attributes, layer1, statesOld)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val epsA = exploded1
       .groupBy(inst.as("inst"), col("cb.cid").as("cid"), col("cb.key").as("key"))
       .agg(Scores.pandasSum(col("ep")).as("ep"),
@@ -279,7 +283,6 @@ object BatchRiskLoc {
         candL1.toDF("inst", "cid", "key", "ep"), opt)
         .values.toSeq.groupBy(_.instance)
         .map { case (i, ws) => i -> ws.sortBy(w => (-w.ep, w.cid)).head }
-    exploded1.unpersist()
 
     val found = collection.mutable.Map.empty[String, RootCause]
     winners1.foreach { case (i, w) =>
@@ -299,7 +302,6 @@ object BatchRiskLoc {
 
     val dfDeep = df.filter(inst.isin(deepInstances.toSeq: _*))
     val exploded2 = expand(dfDeep, instanceCol, attributes, deep, statesNew)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val thresholdDf = broadcast(adjThreshold.toSeq.toDF("__ti", "__thr"))
     val candsDeep = exploded2
       .groupBy(inst.as("inst"), col("cb.cid").as("cid"), col("cb.key").as("key"))
@@ -314,7 +316,7 @@ object BatchRiskLoc {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val winners2 = riskWinners(exploded2, instanceCol, candsDeep, opt)
-    exploded2.unpersist(); candsDeep.unpersist()
+    candsDeep.unpersist()
 
     winners2.values.toSeq.groupBy(_.instance).foreach { case (i, ws) =>
       (2 to nAttrs).iterator

@@ -165,7 +165,11 @@ object BatchSqueeze {
       val cuboids = attributes.combinations(layer).toSeq
       val activeDf = joined.join(
         broadcast(active.toSeq.toDF(instanceCol, "__cl")), Seq(instanceCol, "__cl"), "left_semi")
-      val exploded = Cuboids.expand(activeDf, cuboids).persist(StorageLevel.MEMORY_AND_DISK)
+      // NOT persisted: the explode is a narrow projection of a cached
+      // parent multiplied by the cuboid count; caching that blowup spills
+      // at H scale (block-manager eviction lock pileup, VERDICT r7) while
+      // recomputing it per consuming pass is map-side CPU only.
+      val exploded = Cuboids.expand(activeDf, cuboids)
 
       // pass 1: per-element stats for every active (instance, cluster)
       val stats = exploded
@@ -276,7 +280,6 @@ object BatchSqueeze {
           buf += CuboidResult(pl.cid, layer, rc, scores(bestP - 1), bestP)
         }
       }
-      exploded.unpersist()
 
       // a pair whose results exceed psUpperBound stops searching deeper
       active = active.filter(k => !results(k).exists(_.score > opt.psUpperBound))

@@ -210,7 +210,11 @@ object HotSpot {
 
     for (layer <- 1 to attributes.size) {
       val cuboids = attributes.combinations(layer).toSeq
-      val exploded = Cuboids.expand(df, cuboids).persist(StorageLevel.MEMORY_AND_DISK)
+      // NOT persisted: the explode is a narrow projection of a cached
+      // parent multiplied by the cuboid count; caching that blowup spills
+      // at H scale (block-manager eviction lock pileup, VERDICT r7) while
+      // recomputing it per consuming pass is map-side CPU only.
+      val exploded = Cuboids.expand(df, cuboids)
 
       val stats1 = exploded
         .groupBy(col("cb.cid").as("cid"), col("cb.key").as("key"))
@@ -236,7 +240,7 @@ object HotSpot {
           sum(pow(col("real") - col("a_ps"), 2.0)).as("ps_a_sq_err"))
 
       val collected = stats1.join(stats2, Seq("cid", "key")).collect()
-      stats1.unpersist(); exploded.unpersist()
+      stats1.unpersist()
 
       val byCid = collected.groupBy(_.getInt(0))
       for ((cuboid, cid) <- cuboids.zipWithIndex) {

@@ -412,16 +412,16 @@ object RobustSpot {
     NumpyArgsort.argsort(deltas.toArray).take(k).toSeq.map(mergeRes)
   }
 
-  /** Batched itemset counts: one conditional-aggregation pass per table. */
-  private def causeCounts(df: DataFrame, causes: Seq[Cause]): Map[Cause, Long] =
-    if (causes.isEmpty) Map.empty
-    else {
-      val aggs = causes.zipWithIndex.map { case (cz, i) =>
-        count(when(cz.map { case (a, v) => col(a) === lit(v) }.reduce(_ && _), lit(1))).as(s"c_$i")
-      }
-      val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-      causes.zipWithIndex.map { case (cz, i) => cz -> r.getLong(i) }.toMap
+  /** Batched itemset counts plus the table's row count, in ONE
+    * conditional-aggregation pass (the total rides along as the first
+    * aggregate, so no separate `count()` action — VERDICT r6 #2). */
+  private def causeCounts(df: DataFrame, causes: Seq[Cause]): (Map[Cause, Long], Long) = {
+    val aggs = count(lit(1)).as("c_total") +: causes.zipWithIndex.map { case (cz, i) =>
+      count(when(cz.map { case (a, v) => col(a) === lit(v) }.reduce(_ && _), lit(1))).as(s"c_$i")
     }
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    (causes.zipWithIndex.map { case (cz, i) => cz -> r.getLong(i + 1) }.toMap, r.getLong(0))
+  }
 
   // ------------------------------------------------------------------ run
 
@@ -442,16 +442,30 @@ object RobustSpot {
     states(0) = selectExpand(adapted, attributes, effOpt)
     rc(0) = mine(states(0), attributes, effOpt, 0)
 
-    for (dim1 <- 1 to 3) {
-      val i1 = 2 * dim1 - 1
-      if (rc(0).size >= dim1) {
-        states(i1) = selectExpand(dropCause(states(0).before, rc(0)(dim1 - 1)), attributes, effOpt)
-        rc(i1) = mine(states(i1), attributes, effOpt, i1)
-        if (rc(i1).nonEmpty) {
-          states(i1 + 1) = selectExpand(dropCause(states(i1).before, rc(i1).head), attributes, effOpt)
-          rc(i1 + 1) = mine(states(i1 + 1), attributes, effOpt, i1 + 1)
+    // Rounds 1-6 form three independent two-round chains hanging off
+    // round 0 (1→2, 3→4, 5→6): run the chains on concurrent driver
+    // threads. Every chain's arithmetic is unchanged and each writes
+    // disjoint rc/states slots, so results are deterministic; the win is
+    // that the scheduler interleaves the chains' many small jobs instead
+    // of serializing ~24 driver round-trips (VERDICT r6 #2).
+    {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val chains = (1 to 3).map { dim1 =>
+        Future {
+          val i1 = 2 * dim1 - 1
+          if (rc(0).size >= dim1) {
+            states(i1) = selectExpand(dropCause(states(0).before, rc(0)(dim1 - 1)), attributes, effOpt)
+            rc(i1) = mine(states(i1), attributes, effOpt, i1)
+            if (rc(i1).nonEmpty) {
+              states(i1 + 1) = selectExpand(dropCause(states(i1).before, rc(i1).head), attributes, effOpt)
+              rc(i1 + 1) = mine(states(i1 + 1), attributes, effOpt, i1 + 1)
+            }
+          }
         }
       }
+      chains.foreach(Await.result(_, Duration.Inf))
     }
 
     var mergeRes: Seq[Seq[Cause]] = mergeRounds(rc.toIndexedSeq)
@@ -467,15 +481,15 @@ object RobustSpot {
     val multi = mergeRes.filter(_.length > 1)
     val keepOf = keepCandidates(multi)
     val dimCauses = (multi.flatten ++ keepOf.values.filter(_.nonEmpty)).distinct
-    val dimCounts = causeCounts(before0, dimCauses)
-    val nBefore0 = before0.count().toDouble
+    val (dimCounts, nBefore0L) = causeCounts(before0, dimCauses)
+    val nBefore0 = nBefore0L.toDouble
     mergeRes = collapseEntries(mergeRes, keepOf, c => dimCounts(c).toDouble, nBefore0)
     mergeRes = dedupeEntries(mergeRes)
 
     val finalCauses = mergeRes.flatten.distinct
-    val beforeCounts = causeCounts(before0, finalCauses)
-    val afterCounts = causeCounts(after0, finalCauses)
-    val nAfter0 = after0.count().toDouble
+    val (beforeCounts, _) = causeCounts(before0, finalCauses)
+    val (afterCounts, nAfter0L) = causeCounts(after0, finalCauses)
+    val nAfter0 = nAfter0L.toDouble
     val result = rankEntries(mergeRes, c => beforeCounts(c).toDouble,
       c => afterCounts(c).toDouble, nBefore0, nAfter0, opt.k)
 

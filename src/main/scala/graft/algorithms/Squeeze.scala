@@ -122,22 +122,30 @@ object Squeeze {
           .withColumn("predict", graft.functions.Scores.safeDiv(col("predict_a"), col("predict_b")))
       else df0.filter(col("predict") > 0)
     val base = df.persist(StorageLevel.MEMORY_AND_DISK)
-    val minReal = base.agg(min("real")).collect()(0).getDouble(0)
+    // min(real) and the attribute cardinalities in ONE action (VERDICT r6
+    // #2): cardinalities ignore the negative-real shift, so both are
+    // computable on the pre-shift frame.
+    val firstRow = base.agg(min("real").as("min_real"),
+      attributes.map(a => countDistinct(col(a)).as(s"card_$a")): _*).collect()(0)
+    if (firstRow.isNullAt(0)) { base.unpersist(); return Seq.empty } // empty frame
+    val minReal = firstRow.getDouble(0)
+    val numAttr = (1 to attributes.size).map(firstRow.getLong).sum.toDouble
     df = if (minReal < 0) base.withColumn("real", col("real") - minReal) else base
     df = df.withColumn("deviation", deviationCol).persist(StorageLevel.MEMORY_AND_DISK)
-
-    val nLeaves = df.count()
-    if (nLeaves == 0) { df.unpersist(); return Seq.empty }
 
     // Driver-side distribution statistics via the collect_vector
     // TypedImperativeAggregate (primitive partial buffers, no Row
     // shipping). The two vectors come from ONE aggregation so they stay
-    // row-aligned; pairs are then sorted for a deterministic order
-    // (shuffle-merge order is not).
+    // row-aligned (the leaf count rides along — no separate count action);
+    // pairs are then sorted for a deterministic order (shuffle-merge order
+    // is not).
     val vecRow = df.agg(
       graft.functions.VectorAgg.collectVector(col("deviation")).as("devs"),
-      graft.functions.VectorAgg.collectVector(abs(col("real") - col("predict"))).as("metrics"))
+      graft.functions.VectorAgg.collectVector(abs(col("real") - col("predict"))).as("metrics"),
+      count(lit(1)).as("n"))
       .collect()(0)
+    val nLeaves = vecRow.getLong(2)
+    if (nLeaves == 0) { df.unpersist(); return Seq.empty }
     val pairs = vecRow.getSeq[Double](0).zip(vecRow.getSeq[Double](1)).sorted.toArray
     val devs = pairs.map(_._1)
     val metrics = pairs.map(_._2)
@@ -171,13 +179,9 @@ object Squeeze {
     opt.trace(s"NORMAL thr=$normalThreshold n_normal=${devs.count(d => math.abs(d) < normalThreshold)} " +
       s"n_abn=${abnormalDevs.length}")
 
-    // auto score weight (squeeze.py:281-300, revised formula)
+    // auto score weight (squeeze.py:281-300, revised formula); the
+    // attribute cardinalities were fused into the first action above
     val nClusters = intervals.size
-    // all attribute cardinalities in ONE pass (vs one job per attribute)
-    val cardRow = df.agg(
-      countDistinct(col(attributes.head)).as("c0"),
-      attributes.tail.map(a => countDistinct(col(a))): _*).collect()(0)
-    val numAttr = (0 until attributes.size).map(cardRow.getLong).sum.toDouble
     val scoreWeight = opt.scoreWeight.getOrElse {
       val gCluster = math.log(nClusters + 1.0) / nClusters
       val gAttribute = numAttr / math.log(numAttr + 1.0)
@@ -185,13 +189,39 @@ object Squeeze {
       gCluster * gAttribute * gCoverage
     }
 
-    val rootCauses = intervals.map { case (lo, hi) =>
-      val members = devs.filter(d => d >= lo && d <= hi)
-      opt.trace(s"CLUSTER n=${members.length} devmin=${members.min} devmax=${members.max}")
-      val rc = locateInCluster(df, attributes, lo, hi, isNormal, scoreWeight, opt)
-      rc.foreach(r => opt.trace(s"  PICK ${r.map(_.label).sorted.mkString(";")}"))
-      rc
-    }.collect { case Some(rc) => rc }
+    // Per-cluster subset totals (count + L1 mass of cluster ∪ normal) for
+    // ALL clusters in ONE action (VERDICT r6 #2): they depend only on the
+    // cluster interval, not the layer, so the old per-layer recomputation
+    // inside locateInCluster collapses into this single batched agg.
+    val subTotalsRow = df.agg(
+      count(when(clusterSubset(intervals.head, isNormal), lit(1))),
+      intervals.tail.flatMap { iv => Seq(
+        count(when(clusterSubset(iv, isNormal), lit(1)))) } ++
+      intervals.map { iv =>
+        sum(when(clusterSubset(iv, isNormal), abs(col("real") - col("predict"))).otherwise(0.0)) }: _*)
+      .collect()(0)
+    val subTotals: Seq[(Long, Double)] = intervals.indices.map { i =>
+      (subTotalsRow.getLong(i), subTotalsRow.getDouble(intervals.size + i)) }
+
+    // Cluster searches are independent (read-only over the shared cached
+    // frame): run them on concurrent driver threads so their many small
+    // jobs interleave instead of serializing driver round-trips. Results
+    // keep interval order; per-cluster arithmetic is unchanged.
+    val rootCauses = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      intervals.zip(subTotals).map { case ((lo, hi), (nSubTotal, l1SubTotal)) =>
+        Future {
+          val members = devs.filter(d => d >= lo && d <= hi)
+          opt.trace(s"CLUSTER n=${members.length} devmin=${members.min} devmax=${members.max}")
+          val rc = locateInCluster(df, attributes, lo, hi, isNormal, scoreWeight,
+            nSubTotal, l1SubTotal, opt)
+          rc.foreach(r => opt.trace(s"  PICK ${r.map(_.label).sorted.mkString(";")}"))
+          rc
+        }
+      }.map(Await.result(_, Duration.Inf)).collect { case Some(rc) => rc }
+    }
 
     df.unpersist(); base.unpersist()
     Labels.canonicalPredictions(
@@ -220,12 +250,18 @@ object Squeeze {
     graft.kernels.PyHash.PySet.of(elems, acHash).toList
   }
 
+  /** Membership predicate of a cluster's subset (cluster ∪ normal). */
+  private def clusterSubset(interval: (Double, Double), isNormal: Column): Column =
+    (col("deviation") >= interval._1 && col("deviation") <= interval._2) || isNormal
+
   /** One cluster's search (squeeze.py:241-275). Returns the root cause as
-    * a set of Elements. */
+    * a set of Elements. `nSubTotal`/`l1SubTotal` are the cluster's subset
+    * totals, batched for all clusters by the caller. */
   private def locateInCluster(
       df: DataFrame, attributes: Seq[String],
       lo: Double, hi: Double, isNormal: Column,
-      scoreWeight: Double, opt: Options): Option[Seq[Element]] = {
+      scoreWeight: Double, nSubTotal: Long, l1SubTotal: Double,
+      opt: Options): Option[Seq[Element]] = {
 
     val inCluster: Column = col("deviation") >= lo && col("deviation") <= hi
     val inSubset: Column = inCluster || isNormal
@@ -241,7 +277,11 @@ object Squeeze {
     var break = false
     while (layer <= attributes.size && !break) {
       val cuboids = attributes.combinations(layer).toSeq
-      val exploded = Cuboids.expand(df, cuboids).persist(StorageLevel.MEMORY_AND_DISK)
+      // NOT persisted: the explode is a narrow projection of a cached
+      // parent multiplied by the cuboid count; caching that blowup spills
+      // at H scale (block-manager eviction lock pileup, VERDICT r7) while
+      // recomputing it per consuming pass is map-side CPU only.
+      val exploded = Cuboids.expand(df, cuboids)
 
       // pass 1: per-element stats over abnormal / all / subset rows
       val stats = exploded
@@ -262,10 +302,6 @@ object Squeeze {
           sum(when(inSubset, derivedColOr("predict_a")).otherwise(0.0)).as("sfa"),
           sum(when(inSubset, derivedColOr("predict_b")).otherwise(0.0)).as("sfb"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-
-      val Row(nSubTotal: Long, l1SubTotal: Double) =
-        df.agg(count(when(inSubset, lit(1))), sum(when(inSubset, abs(col("real") - col("predict"))).otherwise(0.0)))
-          .collect()(0)
 
       val perCid = stats.collect().groupBy(_.getInt(0))
 
@@ -391,7 +427,7 @@ object Squeeze {
           results += CuboidResult(pl.cid, layer, rc, bestScore, bestP)
         }
       }
-      stats.unpersist(); exploded.unpersist()
+      stats.unpersist()
       if (results.exists(_.score > opt.psUpperBound)) break = true
       layer += 1
     }

@@ -22,10 +22,14 @@ import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
   *       rows — only per-candidate summaries ever reach the driver).
   *
   * Usage: HScale [numInstances] [dimsSpec like a10,b5,c250,d20,e8,f12]
-  *               [outMd] [seqSamples] [algosCsv]
-  * Writes outMd (default H_SCALE.md). A smaller-dims run of the same
-  * harness is pinned as a spec (HScaleSpec) so the job-count contract
-  * stays enforced on every test run.
+  *               [outMd] [seqSamples] [algosCsv] [corpusDir]
+  * Writes outMd (default H_SCALE.md). `corpusDir` (optional) reuses a
+  * previously generated parquet corpus instead of regenerating — the
+  * full-size rehearsal runs each algorithm in its OWN JVM (fresh block
+  * manager and cache per phase) against one shared corpus, so a single
+  * phase's memory behavior can never poison another's. A smaller-dims
+  * run of the same harness is pinned as a spec (HScaleSpec) so the
+  * job-count contract stays enforced on every test run.
   */
 object HScale {
 
@@ -197,14 +201,18 @@ object HScale {
     // materialize through parquet: the realistic input path (column-pruned
     // vectorized scan), and each algorithm pass re-reads the file instead
     // of re-running the generator expressions
-    val work = java.nio.file.Files.createTempDirectory("graft_h").toString
-    val t0 = System.nanoTime()
-    HCorpus.corpus(spark, numInstances, dims).write.mode("overwrite")
-      .parquet(s"$work/corpus")
-    val genSec = (System.nanoTime() - t0) / 1e9
-    val corpus = spark.read.parquet(s"$work/corpus")
+    val preBuilt = args.lift(5).filter(p => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(p, "_SUCCESS")))
+    val work = preBuilt.getOrElse {
+      val dir = java.nio.file.Files.createTempDirectory("graft_h").toString + "/corpus"
+      val t0 = System.nanoTime()
+      HCorpus.corpus(spark, numInstances, dims).write.mode("overwrite").parquet(dir)
+      println(f"generated+wrote corpus in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $dir")
+      dir
+    }
+    val corpus = spark.read.parquet(work)
     val total = corpus.count()
-    println(f"generated+wrote $total rows in $genSec%.1f s -> $work/corpus")
+    println(s"corpus: $total rows at $work")
 
     val (phases, notes) = runRehearsal(spark, corpus, dims.map(_._1), seqSamples, algos)
 
@@ -229,9 +237,11 @@ object HScale {
     println(s"wrote $outMd")
     phases.foreach(p => println(f"${p.algo}%-12s ${p.wallSec}%8.1fs (+${p.checkSec}%.1fs checks) " +
       f"jobs=${p.jobs}%4d heapHW=${p.heapHighWaterMb}MB causes=${p.causes}"))
-    // clean the work dir
-    import scala.reflect.io.Directory
-    new Directory(new java.io.File(work)).deleteRecursively()
+    // clean the work dir (only when this run generated it)
+    if (preBuilt.isEmpty) {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(work)).deleteRecursively()
+    }
     spark.stop()
     if (notes.nonEmpty) sys.exit(1)
   }
