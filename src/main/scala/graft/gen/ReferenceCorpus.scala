@@ -205,11 +205,24 @@ object ReferenceCorpus {
     val rng = new Random(cfg.seed)
     Files.createDirectories(Paths.get(outDir))
     val used = mutable.LinkedHashMap.empty[String, (String, Map[String, String])]
-    (0 until cfg.numFiles).foreach { _ =>
+    while (used.size < cfg.numFiles) {
       var name = ""
       while (name.isEmpty || used.contains(name))
         name = (100000 + rng.nextInt(900000)).toString
-      val (rows, labels, meta) = generateFile(cfg, rng)
+      // Corpus-level redraw on an unplaceable anomaly draw: the reference's
+      // placement recursion has no success guarantee (small cardinalities
+      // can exhaust a dimension; generate_dataset.py:99-163 would die on
+      // Python's recursion limit for the same draw). A failed draw costs
+      // the rng stream it consumed and the file is re-drawn fresh — file
+      // streams that DO place are byte-identical to the reference's, which
+      // is the property GenCorpusSpec pins.
+      val generated =
+        try Some(generateFile(cfg, rng))
+        catch { case _: IllegalStateException => None }
+      if (generated.isEmpty) {
+        println(s"anomaly placement unsatisfiable for draw $name; re-drawing file")
+      } else {
+      val (rows, labels, meta) = generated.get
       val header = (cfg.dims.map(_._1) ++ Seq("real", "predict")).mkString(",")
       val body = rows.map(r =>
         (cfg.dims.indices.map(d => s"${cfg.dims(d)._1}${r.values(d)}") ++
@@ -224,6 +237,7 @@ object ReferenceCorpus {
         info ++= (Seq(nm, lb) ++ MetaCols.map(mt)).mkString(",") + "\n"
       }
       Files.write(Paths.get(outDir, "injection_info.csv"), info.toString.getBytes("UTF-8"))
+      }
     }
     used.keys.toSeq
   }

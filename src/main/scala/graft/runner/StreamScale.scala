@@ -1,0 +1,185 @@
+package graft.runner
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingForecast
+
+/** Streaming-at-scale rehearsal (VERDICT r5 #6 / r6 #5): drive the
+  * Structured-Streaming snapshot path (`StreamingForecast.anomalySnapshots`
+  * — the §2.10 generalization of the RS ingest) with an H-SIZED raw
+  * (minute, leaf, value, cnt) series and record what the toy-data spec
+  * (StreamingForecastSpec) cannot: sustained throughput, state-store row
+  * count and memory footprint under watermark eviction, and exact parity
+  * of the emitted snapshots against the batch computation of the same
+  * function on the same static frame.
+  *
+  * Scale shape being verified: the stateful sliding-window aggregate keys
+  * state by (window, leaf). With W = periods+1 sliding windows live per
+  * leaf and watermark delay D, steady-state state rows are bounded by
+  * leaves x (W + D/60) regardless of how many minutes stream through —
+  * eviction, not accumulation. That is the property that holds when one
+  * box becomes a cluster and 24M rows/min becomes the per-trigger load:
+  * state is partitioned by key across executors and bounded per leaf.
+  *
+  * The default corpus is leaves = |a10 x b5 x c250 x d20| = 250k leaves x
+  * 96 minutes = 24M raw rows — the reference H dataset's per-instance row
+  * count (README.md:119-122) streamed minute-by-minute.
+  *
+  * Usage: StreamScale [dimsSpec like a10,b5,c250,d20] [minutes] [outMd]
+  */
+object StreamScale {
+
+  final case class Result(
+      leaves: Long, minutes: Int, inputRows: Long, emittedRows: Long,
+      expectedRows: Long, parityOk: Boolean, wallSec: Double,
+      rowsPerSec: Double, batches: Int, maxStateRows: Long,
+      maxStateMemMb: Long, stateBoundRows: Long)
+
+  /** Deterministic raw minute series over the dims lattice: one row per
+    * (minute, leaf) with a failure count that spikes on one element in
+    * the final minute — HCorpus-style pure column algebra, no driver rows. */
+  def rawSeries(spark: SparkSession, dims: Seq[(String, Int)], minutes: Int,
+      baseEpoch: Long): DataFrame = {
+    val leaves = dims.map(_._2.toLong).product
+    val strides = dims.map(_._2.toLong).scanRight(1L)(_ * _).tail
+    var df = spark.range(leaves * minutes).toDF()
+      .withColumn("minute", (col("id") / leaves).cast("long"))
+      .withColumn("leaf", col("id") % leaves)
+    dims.zipWithIndex.foreach { case ((name, card), i) =>
+      df = df.withColumn(name,
+        concat(lit(name), (((col("leaf") / strides(i)) % card) + 1).cast("string")))
+    }
+    val u = (pmod(xxhash64(col("id"), lit(17L)), lit(1L << 30)).cast("double") + 0.5) / (1L << 30).toDouble
+    val spike = col(dims.head._1) === s"${dims.head._1}3" && col("minute") === (minutes - 1)
+    df.withColumn("cnt", lit(100.0))
+      .withColumn("failures", when(spike, 60.0).otherwise(floor(u * 6).cast("double")))
+      .withColumn("value", col("cnt") - col("failures"))
+      .withColumn("ts", (lit(baseEpoch) + col("minute") * 60).cast("timestamp"))
+      .select(("ts" +: dims.map(_._1) :+ "value" :+ "cnt").map(col): _*)
+  }
+
+  /** End-to-end: write the series minute-by-minute as parquet (the file
+    * source replays it in modification-time order, one minute per
+    * trigger), stream it through anomalySnapshots, count/checksum the
+    * emitted snapshot rows in foreachBatch, and compare against the batch
+    * run of the SAME function on the static frame restricted to the
+    * minutes the watermark closed. */
+  def run(spark: SparkSession, dims: Seq[(String, Int)], minutes: Int,
+      periods: Int = 4, filesPerMinute: Int = 4): Result = {
+    val attrs = dims.map(_._1)
+    val base = 1700000040L // minute-aligned
+    val work = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val inDir = work + "/in"
+    val ckpt = work + "/ckpt"
+
+    val static = rawSeries(spark, dims, minutes, base)
+    // one append per minute => per-minute file groups in mtime order
+    (0 until minutes).foreach { m =>
+      static.filter(col("ts") === lit(base + m * 60L).cast("timestamp"))
+        .coalesce(filesPerMinute).write.mode("append").parquet(inDir)
+    }
+    val inputRows = dims.map(_._2.toLong).product * minutes
+
+    val stream = spark.readStream
+      .schema(static.schema)
+      .option("maxFilesPerTrigger", filesPerMinute)
+      .parquet(inDir)
+    val snapshots = StreamingForecast.anomalySnapshots(stream, attrs, periods)
+
+    val emitted = new java.util.concurrent.atomic.AtomicLong(0)
+    val checksum = new java.util.concurrent.atomic.DoubleAdder()
+    val t0 = System.nanoTime()
+    val query = snapshots.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val agg = batch.agg(
+          count(lit(1)), sum(col("real_a")), sum(col("predict_a"))).collect()(0)
+        emitted.addAndGet(agg.getLong(0))
+        if (!agg.isNullAt(1)) checksum.add(agg.getDouble(1))
+        if (!agg.isNullAt(2)) checksum.add(agg.getDouble(2))
+        ()
+      }
+      .start()
+    query.processAllAvailable()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val progresses = query.recentProgress.toSeq
+    query.stop()
+
+    // watermark at end-of-stream = maxTs - delay; emitted snapshot minutes m
+    // have window end (m+60) <= watermark
+    val maxTs = base + (minutes - 1) * 60L
+    val watermark = maxTs - 120L
+    val emittedMinutes = (periods until minutes)
+      .map(m => base + m * 60L).filter(_ + 60 <= watermark)
+
+    val batchSnap = StreamingForecast.anomalySnapshots(static, attrs, periods)
+      .filter(col("snapshot_minute").isin(emittedMinutes: _*))
+    val b = batchSnap.agg(
+      count(lit(1)), sum(col("real_a")), sum(col("predict_a"))).collect()(0)
+    val expectedRows = b.getLong(0)
+    val expectedSum = (if (b.isNullAt(1)) 0.0 else b.getDouble(1)) +
+      (if (b.isNullAt(2)) 0.0 else b.getDouble(2))
+    val parity = expectedRows == emitted.get() &&
+      math.abs(expectedSum - checksum.sum()) <= 1e-6 * math.max(1.0, math.abs(expectedSum))
+
+    val maxStateRows = progresses.flatMap(_.stateOperators.map(_.numRowsTotal)).maxOption.getOrElse(0L)
+    val maxStateMem = progresses.flatMap(_.stateOperators.map(_.memoryUsedBytes)).maxOption.getOrElse(0L)
+    val leaves = dims.map(_._2.toLong).product
+    // live windows per leaf: periods+1 sliding + watermark-delay grace
+    val stateBound = leaves * (periods + 1 + 2)
+
+    // best-effort cleanup of the temp corpus
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(work)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
+
+    Result(leaves, minutes, inputRows, emitted.get(), expectedRows, parity,
+      wall, inputRows / wall, progresses.count(_.numInputRows > 0),
+      maxStateRows, maxStateMem / (1024 * 1024), stateBound)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dims = args.lift(0).map(_.split(',').toSeq.map(s => (s.take(1), s.drop(1).toInt)))
+      .getOrElse(Seq("a" -> 10, "b" -> 5, "c" -> 250, "d" -> 20))
+    val minutes = args.lift(1).map(_.toInt).getOrElse(96)
+    val outMd = args.lift(2).getOrElse("STREAM_SCALE.md")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = graft.core.Sessions.local(cpus, "64", "graft-stream-scale")
+    spark.sparkContext.setLogLevel("WARN")
+
+    val r = run(spark, dims, minutes)
+
+    val md = new StringBuilder
+    md ++= "# Streaming-at-scale rehearsal (StructuredStreaming snapshot path)\n\n"
+    md ++= s"Input: ${r.leaves} leaves (dims ${dims.map { case (n, c) => s"$n:$c" }.mkString(", ")}) "
+    md ++= s"x ${r.minutes} minutes = ${r.inputRows} raw rows — the reference H dataset's "
+    md ++= "per-instance row count (README.md:119-122) replayed minute-by-minute through a "
+    md ++= "parquet file source (one minute per trigger) into "
+    md ++= "`StreamingForecast.anomalySnapshots` (sliding 5-minute windows, 2-minute watermark).\n\n"
+    md ++= "| metric | value |\n|---|---|\n"
+    md ++= f"| wall (s) | ${r.wallSec}%.1f |\n"
+    md ++= f"| sustained throughput (raw rows/s) | ${r.rowsPerSec}%.0f |\n"
+    md ++= s"| triggers with data | ${r.batches} |\n"
+    md ++= s"| emitted snapshot rows | ${r.emittedRows} |\n"
+    md ++= s"| batch-recompute of same function, same minutes | ${r.expectedRows} rows |\n"
+    md ++= s"| exact parity (rows + real_a/predict_a checksum) | ${if (r.parityOk) "YES" else "NO"} |\n"
+    md ++= s"| state-store max rows | ${r.maxStateRows} |\n"
+    md ++= s"| state-store bound (leaves x (periods+1+delay)) | ${r.stateBoundRows} |\n"
+    md ++= s"| state-store max memory (MB) | ${r.maxStateMemMb} |\n"
+    md ++= "\nState stays bounded by watermark eviction — rows never exceed leaves x live\n"
+    md ++= "windows no matter how many minutes stream through; on a cluster the state is\n"
+    md ++= "hash-partitioned by (window, leaf) across executors, so the per-executor\n"
+    md ++= "footprint divides by the executor count. StreamScaleSpec pins the parity and\n"
+    md ++= "state-bound contracts at test size on every run.\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(outMd), md.toString.getBytes("UTF-8"))
+    println(s"wrote $outMd")
+    println(f"wall=${r.wallSec}%.1fs throughput=${r.rowsPerSec}%.0f rows/s " +
+      f"emitted=${r.emittedRows} parity=${r.parityOk} stateRows=${r.maxStateRows} " +
+      f"stateMemMb=${r.maxStateMemMb}")
+    spark.stop()
+    if (!r.parityOk) sys.exit(1)
+  }
+}

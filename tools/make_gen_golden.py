@@ -53,6 +53,13 @@ ALGO_ARGS = {
 def main():
     files = sorted(f[:-4] for f in os.listdir(CORPUS)
                    if f.endswith(".csv") and f != "injection_info.csv")
+    # optional sharding for the wide sweep: GEN_SWEEP_SHARD="i/n" keeps
+    # every n-th file starting at i — per-file runs are independent (hotspot
+    # reseeds per file), so shards can run in parallel and be concatenated
+    shard = os.environ.get("GEN_SWEEP_SHARD", "")
+    if shard:
+        i, n = (int(x) for x in shard.split("/"))
+        files = files[i::n]
     algos = [a for a in ALGOS.split(",") if a] or list(ALGO_ARGS)
     rows = []
     for algo, algo_args in ((a, ALGO_ARGS[a]) for a in algos):
