@@ -205,25 +205,38 @@ object BatchRiskLoc {
       .groupBy(col("ri").as("inst"), col("rcid").as("cid"), col("rkey").as("key"))
       .agg(avg(abs(col("d"))).as("w1"))
 
-    val collected = candKeys.withColumnRenamed("inst", "inst")
+    // Winner selection stays IN Spark: the driver scan "first candidate in
+    // (ep desc, key asc) order whose risk passes" equals "rank-1 of the
+    // PASSING candidates under the same order" (restricting an order to a
+    // subset preserves relative order), so only one row per (instance,
+    // cuboid) is ever collected. Collecting every candidate's stats instead
+    // is O(instances x cuboids x maxCandidatesPerCuboid) — at the H shape
+    // (4 x 24M rows, 57 deep cuboids) that is millions of rows and blew
+    // spark.driver.maxResultSize in the r7 rehearsal. Formulas are the same
+    // IEEE double ops the driver scan used (riskloc.py:51-55); key order by
+    // elementwise array compare == the NUL-joined string compare the driver
+    // used (keys within a cuboid share arity; values are NUL-free).
+    val winners = candKeys.withColumnRenamed("inst", "inst")
       .join(stats1, Seq("inst", "cid", "key"))
       .join(stats2, Seq("inst", "cid", "key"), "left")
+      // n_normal = wn + 1 rounds first (riskloc.py:51-55)
+      .withColumn("high", col("wa") / (col("wa") + (col("wn") + lit(1.0))))
+      .withColumn("low",
+        when(col("n_nz") > 0 && col("w2").isNotNull && col("w2") =!= 0.0,
+          coalesce(col("w1"), lit(0.0)) / col("w2")).otherwise(0.0))
+      .withColumn("risk", col("high") - col("low"))
+      .filter(col("risk") >= opt.riskThreshold)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("inst", "cid").orderBy(desc("ep"), asc("key"))))
+      .filter(col("__rn") === 1)
+      .select("inst", "cid", "key", "ep", "high", "low", "risk")
       .collect()
 
-    collected.groupBy(r => (r.getString(0), r.getInt(1))).flatMap { case ((i, cid), rows) =>
-      val ordered = rows.sortBy(r => (-r.getDouble(3), r.getSeq[String](2).mkString("\u0000")))
-      ordered.iterator.map { r =>
-        val ep = r.getDouble(3)
-        val wa = r.getDouble(4); val wn = r.getDouble(5)
-        // n_normal = wn + 1 rounds first (riskloc.py:51-55)
-        val high = wa / (wa + (wn + 1.0))
-        val w2 = if (r.isNullAt(8)) 0.0 else r.getDouble(8)
-        val nNz = r.getLong(9)
-        val w1 = if (!r.isNullAt(10)) r.getDouble(10) else 0.0
-        val low = if (nNz > 0 && w2 != 0.0) w1 / w2 else 0.0
-        Winner(i, cid, r.getSeq[String](2), ep, high, low, high - low)
-      }.find(_.risk >= opt.riskThreshold).map((i, cid) -> _)
-    }
+    winners.iterator.map { r =>
+      (r.getString(0), r.getInt(1)) ->
+        Winner(r.getString(0), r.getInt(1), r.getSeq[String](2).toSeq, r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    }.toMap
   }
 
   /** One remove-and-repeat iteration for EVERY active instance. Returns

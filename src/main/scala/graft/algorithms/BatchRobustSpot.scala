@@ -132,10 +132,19 @@ object BatchRobustSpot {
               r.getString(0) -> graft.kernels.PyListSort.sort(ids).filter(_ > 0)
             }.toMap
         } else {
+          // idSampleCap bounds the per-instance knee vector (the collect is
+          // O(positive IDs) otherwise — 24M-row instances blow the driver);
+          // the cap applies to the LARGEST instance, one count action total
           val positives = scored.filter(!isnan(col("ID")) && col("ID") > 0)
+          val frac =
+            if (opt.idSampleFraction < 1.0) opt.idSampleFraction
+            else {
+              val maxN = positives.groupBy(inst).count()
+                .agg(coalesce(max("count"), lit(0L))).collect()(0).getLong(0)
+              if (maxN > opt.idSampleCap) opt.idSampleCap.toDouble / maxN else 1.0
+            }
           val sampled =
-            if (opt.idSampleFraction < 1.0) positives.sample(opt.idSampleFraction, seed = 42L)
-            else positives
+            if (frac < 1.0) positives.sample(frac, seed = 42L) else positives
           sampled.groupBy(inst.as("__i"))
             .agg(VectorAgg.collectVector(col("ID")).as("idv"))
             .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toArray.sorted).toMap

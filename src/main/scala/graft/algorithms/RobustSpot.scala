@@ -51,6 +51,12 @@ object RobustSpot {
         * without changing the screening materially; 1.0 = bit-exact
         * reference parity. */
       idSampleFraction: Double = 1.0,
+      /** Hard cap on the knee-input vector in the scale (non-parity) path:
+        * when the positive-ID count exceeds it, a seeded sample of ~this
+        * size is taken even at idSampleFraction=1.0. The knee is a
+        * distribution statistic; an unbounded collect is O(snapshot rows)
+        * and would blow the driver at 24M-row instances (r7 H rehearsal). */
+      idSampleCap: Long = 2000000L,
       /** Per-round debug tracing (the reference's --debug analogue):
         * receives screening/mode/top-5/final lines. */
       trace: String => Unit = _ => ())
@@ -195,9 +201,14 @@ object RobustSpot {
         graft.kernels.PyListSort.sort(pairs).filter(_ > 0)
       } else {
         val positives = scored.filter(!isnan(col("ID")) && col("ID") > 0)
+        val frac =
+          if (opt.idSampleFraction < 1.0) opt.idSampleFraction
+          else {
+            val n = positives.count()
+            if (n > opt.idSampleCap) opt.idSampleCap.toDouble / n else 1.0
+          }
         val sampled =
-          if (opt.idSampleFraction < 1.0) positives.sample(opt.idSampleFraction, seed = 42L)
-          else positives
+          if (frac < 1.0) positives.sample(frac, seed = 42L) else positives
         graft.functions.VectorAgg.collectToDriver(sampled, col("ID")).sorted
       }
     val threshold = idThreshold(ids)

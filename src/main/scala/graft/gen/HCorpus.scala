@@ -43,14 +43,27 @@ object HCorpus {
         lit(1L << 40)).cast("double") + 0.5) / (1L << 40).toDouble
     var df = spark.range(n).toDF()
     dims.zipWithIndex.foreach { case ((name, card), i) =>
+      // floor division: `/` on longs is DOUBLE division in Spark SQL — the
+      // un-floored version produced fractional element labels ("a1.0166..")
+      // that made every leaf its own pseudo-element and missed the anomaly
+      // masks entirely (causes=0 in the r7 rehearsal)
       df = df.withColumn(name,
-        concat(lit(name), (((col("id") / strides(i)) % card) + 1).cast("string")))
+        concat(lit(name),
+          ((floor(col("id") / strides(i)) % card) + 1).cast("long").cast("string")))
     }
     val alpha = 0.75 // inverse-CDF Weibull draw, like the reference's rng.weibull
     val real0 = when(u(1) < zeroRate, 0.0)
       .otherwise(pow(-log(lit(1.0) - u(2)), 1.0 / alpha) * 100.0)
+    // +2% systematic over-forecast: the reference aligns each file's anomaly
+    // direction with the normal data's global error direction
+    // (generate_dataset.py:269-272 — direction 0 iff predict.sum >= real.sum,
+    // and only then scales `real` down). A deterministic bias keeps this
+    // builder pure column algebra while guaranteeing direction 0 is the
+    // correct choice for every instance; without it the anomaly can FIGHT a
+    // noise-dominated global direction and the EP denominator collapses.
     df = df.withColumn("real", real0)
-      .withColumn("predict", col("real") * (lit(1.0) + (u(3) - 0.5) * 2.0 * noise))
+      .withColumn("predict",
+        col("real") * (lit(1.02) + (u(3) - 0.5) * 2.0 * noise))
     anomalies.foreach { a =>
       val mask = a.element.map { case (k, v) => col(k) === v }.reduce(_ && _)
       df = df.withColumn("real",

@@ -114,28 +114,43 @@ object ReferenceCorpus {
       rows(pos)
     }
 
-    def place(level: Int, elements: Int, current: Seq[Placed], depth: Int): Placed = {
-      if (depth > 1000) throw new IllegalStateException("anomaly placement retry limit")
+    // one placement ATTEMPT; None = retry (rng draws consumed, like the
+    // reference's recursive call — generate_dataset.py:100-153)
+    def placeOnce(level: Int, elements: Int, current: Seq[Placed]): Option[Placed] = {
       val anomalyDims = choiceNoReplace(rng, 0 until nDims, level).sorted
       val lowest = level == nDims
       if (current.exists(_.dims == anomalyDims) && !lowest)
-        return place(level, elements, current, depth + 1)
+        return None
       val perDim = anomalyDims.map { d =>
         var dimElements = (1 to dims(d)._2).toSet
         for (ca <- current if ca.dims.contains(d)) {
           val idx = ca.dims.indexOf(d)
           dimElements --= ca.cuboids.map(_(idx)).toSet
         }
-        if (dimElements.isEmpty) return place(level, elements, current, depth + 1)
+        if (dimElements.isEmpty) return None
         val sortedEls = dimElements.toSeq.sorted
         (0 until elements).map(_ => sortedEls(rng.nextInt(sortedEls.length)))
       }
       val cuboids = (0 until elements).map(e => anomalyDims.indices.map(d => perDim(d)(e)))
       if (lowest && cuboids.exists(c => rowFor(anomalyDims, c).real == 0))
-        return place(level, elements, current, depth + 1)
+        return None
       if (cuboids.distinct.length < elements)
-        return place(level, elements, current, depth + 1)
-      Placed(anomalyDims, cuboids)
+        return None
+      Some(Placed(anomalyDims, cuboids))
+    }
+
+    // retry LOOP, not recursion: the reference retries by re-calling itself
+    // (same rng stream), which our replica preserves exactly; a loop avoids
+    // overflowing the stack before the retry limit on unsatisfiable draws
+    def place(level: Int, elements: Int, current: Seq[Placed], depth0: Int): Placed = {
+      var depth = depth0
+      while (depth <= 1000) {
+        placeOnce(level, elements, current) match {
+          case Some(p) => return p
+          case None => depth += 1
+        }
+      }
+      throw new IllegalStateException("anomaly placement retry limit")
     }
 
     val placed = mutable.ArrayBuffer.empty[Placed]

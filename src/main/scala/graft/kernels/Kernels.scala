@@ -88,7 +88,12 @@ object Kernels {
     val fd = 2.0 * iqr / math.cbrt(n.toDouble)
     val sturges = ptp / (math.log(n.toDouble) / math.log(2.0) + 1.0)
     val width = if (fd > 0) math.min(fd, sturges) else sturges
-    val nBins = math.max(1, math.ceil(ptp / width).toInt)
+    // cap: a near-zero (denormal) FD width — near-identical quartiles with
+    // outliers — makes ceil(ptp/width) exceed Int.MaxValue, and the +1 in
+    // tabulate then overflows to a NEGATIVE size (empty edges, downstream
+    // crash). numpy itself would try to allocate the gigantic linspace and
+    // die; 2^20 bins is already far beyond any density-clustering use.
+    val nBins = math.min(1 << 20, math.max(1, math.ceil(ptp / width).toInt))
     // np.linspace rounding: one precomputed step, y_i = i*step + start,
     // endpoint overwritten with stop — NOT first + ptp*i/nBins, which is a
     // ULP away and flips strict-'>' maxima tests downstream

@@ -46,8 +46,10 @@ object StreamScale {
       .withColumn("minute", (col("id") / leaves).cast("long"))
       .withColumn("leaf", col("id") % leaves)
     dims.zipWithIndex.foreach { case ((name, card), i) =>
+      // floor division — `/` on longs is double division in Spark SQL
       df = df.withColumn(name,
-        concat(lit(name), (((col("leaf") / strides(i)) % card) + 1).cast("string")))
+        concat(lit(name),
+          ((floor(col("leaf") / strides(i)) % card) + 1).cast("long").cast("string")))
     }
     val u = (pmod(xxhash64(col("id"), lit(17L)), lit(1L << 30)).cast("double") + 0.5) / (1L << 30).toDouble
     val spike = col(dims.head._1) === s"${dims.head._1}3" && col("minute") === (minutes - 1)
