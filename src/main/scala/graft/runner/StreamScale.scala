@@ -109,10 +109,12 @@ object StreamScale {
     query.stop()
 
     // watermark at end-of-stream = maxTs - delay; emitted snapshot minutes m
-    // have window end (m+60) <= watermark
+    // have window end (m+60) <= watermark. Warm-up minutes (< periods of
+    // history) emit too — their windows simply cover a partial history,
+    // identically in stream and batch.
     val maxTs = base + (minutes - 1) * 60L
     val watermark = maxTs - 120L
-    val emittedMinutes = (periods until minutes)
+    val emittedMinutes = (0 until minutes)
       .map(m => base + m * 60L).filter(_ + 60 <= watermark)
 
     val batchSnap = StreamingForecast.anomalySnapshots(static, attrs, periods)
@@ -128,8 +130,10 @@ object StreamScale {
     val maxStateRows = progresses.flatMap(_.stateOperators.map(_.numRowsTotal)).maxOption.getOrElse(0L)
     val maxStateMem = progresses.flatMap(_.stateOperators.map(_.memoryUsedBytes)).maxOption.getOrElse(0L)
     val leaves = dims.map(_._2.toLong).product
-    // live windows per leaf: periods+1 sliding + watermark-delay grace
-    val stateBound = leaves * (periods + 1 + 2)
+    // live windows per leaf: periods+1 sliding windows + 2 minutes of
+    // watermark delay + 2 for the boundary minute and the one-trigger lag
+    // (the watermark used by batch N is computed from batch N-1's data)
+    val stateBound = leaves * (periods + 1 + 2 + 2)
 
     // best-effort cleanup of the temp corpus
     try {
