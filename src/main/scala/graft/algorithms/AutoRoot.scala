@@ -19,7 +19,16 @@ import org.apache.spark.storage.StorageLevel
   */
 object AutoRoot {
 
-  final case class Options(deltaThreshold: Double = 0.1)
+  final case class Options(
+      deltaThreshold: Double = 0.1,
+      /** KDE-input cap: above it the anomalous-deviation vector is thinned
+        * by a deterministic leaf-hash filter (xxhash64(attrs) % K == 0,
+        * K = ceil(n/cap)) before reaching the driver — identical leaves in
+        * the sequential and batch paths, so BatchAutoRoot == AutoRoot stays
+        * exact while the collect stays bounded (the KDE minima are
+        * distribution statistics and tolerate thinning). Below the cap
+        * (every test/gate input) the path is untouched. */
+      statSampleCap: Long = 2000000L)
 
   /** KDE minima boundaries of the deviation distribution
     * (reference kde_clustering, autoroot.py:30-47). The returned row's
@@ -44,11 +53,18 @@ object AutoRoot {
   def run(df0: DataFrame, attributes: Seq[String], opt: Options = Options()): Seq[RootCause] = {
     val df = Snapshots.withDeviation(df0).persist(StorageLevel.MEMORY_AND_DISK)
 
-    // KDE clustering of anomalous deviations. The collect is bounded by the
-    // anomalous-leaf count; at extreme scale substitute a reservoir sample
-    // (the KDE minima are distribution-level statistics).
-    val devs = graft.functions.VectorAgg.collectToDriver(
-      df.filter(abs(col("deviation")) > 0.2), col("deviation")).sorted
+    // KDE clustering of anomalous deviations; above statSampleCap the
+    // vector is thinned by the deterministic leaf-hash filter (same
+    // leaves as BatchAutoRoot — Options.statSampleCap doc)
+    val anomalous = df.filter(abs(col("deviation")) > 0.2)
+    val nAnom = anomalous.count()
+    val sampleK =
+      if (nAnom > opt.statSampleCap) (nAnom + opt.statSampleCap - 1) / opt.statSampleCap else 1L
+    val devSrc =
+      if (sampleK > 1)
+        anomalous.filter(pmod(xxhash64(attributes.map(col): _*), lit(sampleK)) === 0)
+      else anomalous
+    val devs = graft.functions.VectorAgg.collectToDriver(devSrc, col("deviation")).sorted
     if (devs.isEmpty) { df.unpersist(); return Seq.empty }
     val boundaries = clusterBoundaries(devs)
 

@@ -39,8 +39,25 @@ object BatchAutoRoot {
     val df = Snapshots.withDeviation(df0.withColumn(instanceCol, inst.cast("string")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // per-instance anomalous deviation vectors -> KDE minima boundaries
-    val devRows = df.filter(abs(col("deviation")) > 0.2)
+    // per-instance anomalous deviation vectors -> KDE minima boundaries.
+    // Instances above statSampleCap are thinned by the SAME deterministic
+    // leaf-hash filter sequential AutoRoot uses (AutoRoot.Options doc), so
+    // Batch == sequential stays exact while the driver collect stays
+    // bounded by instances x cap at any per-instance row count.
+    val anomalous = df.filter(abs(col("deviation")) > 0.2)
+    val anomCounts: Map[String, Long] = anomalous.groupBy(inst.as("__i")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (anomCounts.isEmpty) { df.unpersist(); return empty }
+    val sampleKs = anomCounts.map { case (i, n) =>
+      i -> (if (n > opt.statSampleCap) (n + opt.statSampleCap - 1) / opt.statSampleCap else 1L)
+    }
+    val devSrc =
+      if (sampleKs.values.exists(_ > 1L))
+        anomalous.join(broadcast(sampleKs.toSeq.toDF("__ki", "__k")), inst === col("__ki"))
+          .filter(pmod(xxhash64(attributes.map(col): _*), col("__k")) === 0)
+          .drop("__ki", "__k")
+      else anomalous
+    val devRows = devSrc
       .groupBy(inst.as("__i"))
       .agg(graft.functions.VectorAgg.collectVector(col("deviation")).as("devs"))
       .collect()

@@ -69,25 +69,41 @@ object BatchSqueeze {
       .withColumn("deviation", Squeeze.deviationCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // per-instance attribute cardinalities (auto score weight) and row
+    // counts (sampling decision) in one pass, BEFORE the vector collect
+    val cardRows = df.groupBy(inst.as("__i")).agg(
+      countDistinct(col(attributes.head)),
+      attributes.tail.map(a => countDistinct(col(a))) :+ count(lit(1)).as("n_rows"): _*)
+      .collect()
+    if (cardRows.isEmpty) { df.unpersist(); return empty }
+    val cards: Map[String, Double] = cardRows
+      .map(r => r.getString(0) -> (1 to attributes.size).map(r.getLong).sum.toDouble).toMap
+    val nRows: Map[String, Long] =
+      cardRows.map(r => r.getString(0) -> r.getLong(attributes.size + 1)).toMap
+
     // per-instance (deviation, |v-f|) vectors from ONE aggregation (the
     // two collect_vector buffers of a group stay row-aligned); sorted on
-    // the driver for a deterministic order. NOTE: this materializes every
-    // instance's full distribution on the driver at once — at extreme
-    // per-instance row counts, swap in a per-instance reservoir sample
-    // here (the knee/KDE statistics are distribution estimates and
-    // tolerate sampling), as Squeeze/AutoRoot's scaladoc prescribes.
-    val vecRows = df.groupBy(inst.as("__i")).agg(
+    // the driver for a deterministic order. Instances above
+    // Options.statSampleCap are thinned by the SAME deterministic
+    // leaf-hash filter the sequential path uses (keep leaves with
+    // xxhash64(attrs) % K == 0), so Batch == sequential stays exact at
+    // any scale while the driver collect stays bounded by
+    // instances x cap (the unthinned collect blew
+    // spark.driver.maxResultSize at 4 x 24M rows in the r7 H rehearsal).
+    val sampleKs: Map[String, Long] = nRows.map { case (i, n) =>
+      i -> (if (n > opt.statSampleCap) (n + opt.statSampleCap - 1) / opt.statSampleCap else 1L)
+    }
+    val vecSrc =
+      if (sampleKs.values.exists(_ > 1L))
+        df.join(broadcast(sampleKs.toSeq.toDF("__ki", "__k")), inst === col("__ki"))
+          .filter(pmod(xxhash64(attributes.map(col): _*), col("__k")) === 0)
+          .drop("__ki", "__k")
+      else df
+    val vecRows = vecSrc.groupBy(inst.as("__i")).agg(
       graft.functions.VectorAgg.collectVector(col("deviation")).as("devs"),
       graft.functions.VectorAgg.collectVector(abs(col("real") - col("predict"))).as("metrics"))
       .collect()
     if (vecRows.isEmpty) { df.unpersist(); return empty }
-
-    // per-instance attribute cardinalities for the auto score weight
-    val cards: Map[String, Double] = df.groupBy(inst.as("__i")).agg(
-      countDistinct(col(attributes.head)),
-      attributes.tail.map(a => countDistinct(col(a))): _*)
-      .collect()
-      .map(r => r.getString(0) -> (1 to attributes.size).map(r.getLong).sum.toDouble).toMap
 
     // driver-side per-instance preparation: knee filter, histogram
     // clustering, normal threshold, auto score weight (squeeze.py:38-64)

@@ -34,6 +34,17 @@ object Squeeze {
       psUpperBound: Double = 0.9,
       maxNumElements: Int = 12,
       derived: Boolean = false,
+      /** Driver-side distribution-statistics cap (knee filter + histogram
+        * clustering inputs). Above it the (deviation, metric) vectors are
+        * thinned by a DETERMINISTIC leaf-hash filter (keep leaves with
+        * xxhash64(attrs) % K == 0, K = ceil(n/cap)) before the collect —
+        * the same leaves in the sequential and batch paths regardless of
+        * partitioning, so BatchSqueeze == Squeeze stays exact at any
+        * scale. Below the cap (every test/gate input) the path is
+        * untouched and bit-exact to the reference. 24M-row instances
+        * collected 2 x 192 MB per instance and blew
+        * spark.driver.maxResultSize in the r7 H rehearsal. */
+      statSampleCap: Long = 2000000L,
       /** Per-cluster/per-cuboid debug tracing (mirrors tools/sq_trace_ref.py). */
       trace: String => Unit = _ => ())
 
@@ -126,10 +137,12 @@ object Squeeze {
     // #2): cardinalities ignore the negative-real shift, so both are
     // computable on the pre-shift frame.
     val firstRow = base.agg(min("real").as("min_real"),
-      attributes.map(a => countDistinct(col(a)).as(s"card_$a")): _*).collect()(0)
+      attributes.map(a => countDistinct(col(a)).as(s"card_$a")) :+
+        count(lit(1)).as("n_rows"): _*).collect()(0)
     if (firstRow.isNullAt(0)) { base.unpersist(); return Seq.empty } // empty frame
     val minReal = firstRow.getDouble(0)
     val numAttr = (1 to attributes.size).map(firstRow.getLong).sum.toDouble
+    val nRows = firstRow.getLong(attributes.size + 1)
     df = if (minReal < 0) base.withColumn("real", col("real") - minReal) else base
     df = df.withColumn("deviation", deviationCol).persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -139,12 +152,20 @@ object Squeeze {
     // row-aligned (the leaf count rides along — no separate count action);
     // pairs are then sorted for a deterministic order (shuffle-merge order
     // is not).
-    val vecRow = df.agg(
+    // above statSampleCap: deterministic leaf-hash thinning (same leaves
+    // in BatchSqueeze — Options.statSampleCap doc)
+    val sampleK =
+      if (nRows > opt.statSampleCap) (nRows + opt.statSampleCap - 1) / opt.statSampleCap else 1L
+    val vecSrc =
+      if (sampleK > 1)
+        df.filter(pmod(xxhash64(attributes.map(col): _*), lit(sampleK)) === 0)
+      else df
+    val vecRow = vecSrc.agg(
       graft.functions.VectorAgg.collectVector(col("deviation")).as("devs"),
       graft.functions.VectorAgg.collectVector(abs(col("real") - col("predict"))).as("metrics"),
       count(lit(1)).as("n"))
       .collect()(0)
-    val nLeaves = vecRow.getLong(2)
+    val nLeaves = vecRow.getLong(2) // sampled basis — consistent with devs/metrics
     if (nLeaves == 0) { df.unpersist(); return Seq.empty }
     val pairs = vecRow.getSeq[Double](0).zip(vecRow.getSeq[Double](1)).sorted.toArray
     val devs = pairs.map(_._1)
