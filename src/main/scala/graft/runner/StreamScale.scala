@@ -15,9 +15,11 @@ import graft.streaming.StreamingForecast
   *
   * Scale shape being verified: the stateful sliding-window aggregate keys
   * state by (window, leaf). With W = periods+1 sliding windows live per
-  * leaf and watermark delay D, steady-state state rows are bounded by
-  * leaves x (W + D/60) regardless of how many minutes stream through —
-  * eviction, not accumulation. That is the property that holds when one
+  * leaf, watermark delay D minutes, and triggers ingesting at most s
+  * minutes each (the watermark a trigger applies derives from the
+  * PREVIOUS trigger's max event time), steady-state state rows are
+  * bounded by leaves x (W + D + s) regardless of how many minutes stream
+  * through — eviction, not accumulation. That is the property that holds when one
   * box becomes a cluster and 24M rows/min becomes the per-trigger load:
   * state is partitioned by key across executors and bounded per leaf.
   *
@@ -33,7 +35,7 @@ object StreamScale {
       leaves: Long, minutes: Int, inputRows: Long, emittedRows: Long,
       expectedRows: Long, parityOk: Boolean, wallSec: Double,
       rowsPerSec: Double, batches: Int, maxStateRows: Long,
-      maxStateMemMb: Long, stateBoundRows: Long)
+      maxStateMemMb: Long, stateBoundRows: Long, maxTriggerSpanMin: Int)
 
   /** Deterministic raw minute series over the dims lattice: one row per
     * (minute, leaf) with a failure count that spikes on one element in
@@ -130,10 +132,16 @@ object StreamScale {
     val maxStateRows = progresses.flatMap(_.stateOperators.map(_.numRowsTotal)).maxOption.getOrElse(0L)
     val maxStateMem = progresses.flatMap(_.stateOperators.map(_.memoryUsedBytes)).maxOption.getOrElse(0L)
     val leaves = dims.map(_._2.toLong).product
-    // live windows per leaf: periods+1 sliding windows + 2 minutes of
-    // watermark delay + 2 for the boundary minute and the one-trigger lag
-    // (the watermark used by batch N is computed from batch N-1's data)
-    val stateBound = leaves * (periods + 1 + 2 + 2)
+    // Live window-state rows per leaf when a trigger spanning s minutes ends
+    // at minute m: the watermark during that trigger derives from the
+    // PREVIOUS trigger's max event time (m - s) minus the 2-minute delay, so
+    // window ends from m-s-2 (exclusive) through m+(periods+1) are live —
+    // (periods+1) + 2 + s per leaf. The span s is a replay artifact (the file
+    // source batches several minute-files per trigger); measure it from the
+    // progress stream rather than assuming one-minute triggers.
+    val maxTriggerSpan = progresses.map(p =>
+      math.ceil(p.numInputRows.toDouble / leaves).toLong).maxOption.getOrElse(1L).toInt
+    val stateBound = leaves * (periods + 1 + 2 + maxTriggerSpan)
 
     // best-effort cleanup of the temp corpus
     try {
@@ -144,7 +152,7 @@ object StreamScale {
 
     Result(leaves, minutes, inputRows, emitted.get(), expectedRows, parity,
       wall, inputRows / wall, progresses.count(_.numInputRows > 0),
-      maxStateRows, maxStateMem / (1024 * 1024), stateBound)
+      maxStateRows, maxStateMem / (1024 * 1024), stateBound, maxTriggerSpan)
   }
 
   def main(args: Array[String]): Unit = {
@@ -173,7 +181,8 @@ object StreamScale {
     md ++= s"| batch-recompute of same function, same minutes | ${r.expectedRows} rows |\n"
     md ++= s"| exact parity (rows + real_a/predict_a checksum) | ${if (r.parityOk) "YES" else "NO"} |\n"
     md ++= s"| state-store max rows | ${r.maxStateRows} |\n"
-    md ++= s"| state-store bound (leaves x (periods+1+delay)) | ${r.stateBoundRows} |\n"
+    md ++= s"| max minutes ingested by one trigger (replay artifact) | ${r.maxTriggerSpanMin} |\n"
+    md ++= s"| state-store bound (leaves x (periods+1 + delay 2 + trigger span ${r.maxTriggerSpanMin})) | ${r.stateBoundRows} |\n"
     md ++= s"| state-store max memory (MB) | ${r.maxStateMemMb} |\n"
     md ++= "\nState stays bounded by watermark eviction — rows never exceed leaves x live\n"
     md ++= "windows no matter how many minutes stream through; on a cluster the state is\n"
