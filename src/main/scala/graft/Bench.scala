@@ -118,7 +118,11 @@ object Bench {
       System.gc()
     }
 
+    // BENCH_ONLY=q63,q65 runs just the named-prefix queries (dev loop for
+    // single-query timing; the official number is always the full run)
+    val only = sys.env.get("BENCH_ONLY").map(_.split(',').toSeq)
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     // mid-run multicore probes: before/after can miss a contention window
     // that opens mid-run; sample at the 1/3 and 2/3 marks too and keep the
     // worst (max) for the drift check, min for the box-speed figure

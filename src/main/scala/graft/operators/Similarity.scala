@@ -115,20 +115,29 @@ object Similarity {
     require(bits % bands == 0)
     val rowsPerBand = bits / bands
     val bandMask = (1L << rowsPerBand) - 1
+    // Band on ids only: exploding bands over the raw vectors would shuffle
+    // every vector `bands` times through the candidate join and the pair
+    // dedup. Slim (id, band, bucket) rows find the candidate pairs; the
+    // vectors are joined back ONCE per side for the deduped pairs — the
+    // verification step touches each vector O(candidate-degree) times
+    // instead of O(bands) copies of the whole corpus moving through the
+    // shuffle.
     val banded = df
-      .select(col(idCol).as("id"), col(vecCol).as("v"),
-        rpSignature(col(vecCol), dim, bits, seed).as("sig"))
-      .select(col("id"), col("v"), posexplode(
+      .select(col(idCol).as("id"), rpSignature(col(vecCol), dim, bits, seed).as("sig"))
+      .select(col("id"), posexplode(
         array((0 until bands).map(b =>
           shiftrightunsigned(col("sig"), b * rowsPerBand).bitwiseAND(lit(bandMask))): _*))
         .as(Seq("band", "bucket")))
-    banded.as("l").join(banded.as("r"),
+    val pairs = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.v").as("va"), col("r.v").as("vb"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
-      .withColumn("cos", cosine(col("va"), col("vb")))
+    val vecs = df.select(col(idCol).as("_nd_id"), col(vecCol).as("_nd_v"))
+    pairs
+      .join(vecs.as("va"), col("id_a") === col("va._nd_id"))
+      .join(vecs.as("vb"), col("id_b") === col("vb._nd_id"))
+      .withColumn("cos", cosine(col("va._nd_v"), col("vb._nd_v")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
