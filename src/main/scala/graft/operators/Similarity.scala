@@ -19,10 +19,11 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ over two float arrays, computed in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Σ aᵢ·bᵢ over two numeric arrays, computed in double — a native
+    * codegen expression ([[graft.functions.DotProduct]]); the HoF
+    * formulation it replaces (`aggregate(zip_with(...))`) interpreted
+    * two lambdas per element outside whole-stage codegen. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
