@@ -55,11 +55,13 @@ object TextAnalysis {
     array_max(array(scored: _*)).getField("lang")
   }
 
-  /** Character n-grams of the lowercased text (spaces collapsed). */
+  /** Character n-grams of the lowercased text (spaces collapsed),
+    * computed by the native [[graft.functions.CharNgramsExpr]] — one
+    * offset-table pass per document instead of the O(len²) interpreted
+    * `transform(sequence(...), i => substr(i, n))` chain. */
   def charNgrams(text: Column, n: Int): Column = {
     val clean = regexp_replace(lower(text), "\\s+", " ")
-    transform(sequence(lit(1), greatest(length(clean) - n + 1, lit(1))),
-      i => clean.substr(i, lit(n)))
+    graft.functions.CharNgrams.charNgrams(clean, n)
   }
 
   /** Train per-language character-n-gram profiles: top `profileSize`
