@@ -123,7 +123,7 @@ object AutoRoot {
         val candSel = broadcast(cands.select(col("cid").as("jcid"), col("key").as("jkey"),
           array_distinct(col("key")).as("jset")))
         val setMatch = col("cb.cid") === col("jcid") &&
-          forall(col("cb.key"), v => array_contains(col("jset"), v))
+          graft.functions.ArraySubset.subsetOf(col("cb.key"), col("jset"))
         val stats1 = exploded
           .join(candSel, setMatch)
           .groupBy(col("jcid").as("cid"), col("jkey").as("key"))
@@ -137,7 +137,7 @@ object AutoRoot {
         val stats2 = exploded
           .join(broadcast(ratios),
             col("cb.cid") === col("rcid") &&
-              forall(col("cb.key"), v => array_contains(col("rset"), v)))
+              graft.functions.ArraySubset.subsetOf(col("cb.key"), col("rset")))
           .withColumn("a_row", col("predict") * col("ratio"))
           .withColumn("term_a",
             when(col("real") === 0, 0.0).otherwise(abs(col("real") - col("a_row")) / col("real")))

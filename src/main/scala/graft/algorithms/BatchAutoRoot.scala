@@ -145,7 +145,7 @@ object BatchAutoRoot {
         val candSel = broadcast(candKeys.toDF("ji", "jcid", "jkey")
           .withColumn("jset", array_distinct(col("jkey"))))
         // Fan-out bound: the (instance, cid) equi-keys hash-partition the
-        // join; the forall(array_contains) residual then matches each leaf
+        // join; the native array_subset_of residual then matches each leaf
         // against every candidate of its (instance, cuboid) — worst case
         // |leaves| x |candidates| intermediate rows within one cuboid.
         // This value-SET selection (a leaf joins a candidate when its key
@@ -157,7 +157,7 @@ object BatchAutoRoot {
         // the candidate side small; for pathologically skewed cuboids the
         // mitigation is tightening deltaThreshold, not a different join.
         val setMatch = inst === col("ji") && col("cb.cid") === col("jcid") &&
-          forall(col("cb.key"), v => array_contains(col("jset"), v))
+          graft.functions.ArraySubset.subsetOf(col("cb.key"), col("jset"))
         val stats1 = exploded
           .join(candSel, setMatch)
           .groupBy(col("ji").as("__i"), col("jcid").as("cid"), col("jkey").as("key"))
@@ -171,7 +171,7 @@ object BatchAutoRoot {
         val stats2 = exploded
           .join(broadcast(ratios),
             inst === col("ri") && col("cb.cid") === col("rcid") &&
-              forall(col("cb.key"), v => array_contains(col("rset"), v)))
+              graft.functions.ArraySubset.subsetOf(col("cb.key"), col("rset")))
           .withColumn("a_row", col("predict") * col("ratio"))
           .withColumn("term_a",
             when(col("real") === 0, 0.0).otherwise(abs(col("real") - col("a_row")) / col("real")))
