@@ -75,8 +75,7 @@ object BatchRevRecAdtributor {
       // fan out: a row joins every frontier node whose path it satisfies
       val rows = base.join(frontierDf,
         col(instanceCol) === col("__inst") &&
-          forall(map_entries(col("__pathm")),
-            p => element_at(attrMap, p.getField("key")) === p.getField("value")))
+          graft.functions.MapMatches.matchesAll(col("__pathm"), attrMap))
 
       // merged per (nid, dimension, element): grouping sets with nid in
       // every set — ONE aggregation for all nodes and all dimensions
