@@ -21,7 +21,9 @@ object TextAnalysis {
 
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val t = tokens(text)
-    size(filter(t, w => w.isin(stopwords.map(lit): _*))).cast("double") / size(t)
+    // native one-pass set probe; the equivalent size(filter(t, isin))
+    // interprets a CodegenFallback lambda per token
+    graft.functions.CountInSet.countInSet(t, stopwords).cast("double") / size(t)
   }
 
   /** Fraction of characters that are not alphanumeric/space. */
