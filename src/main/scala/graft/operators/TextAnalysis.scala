@@ -26,10 +26,11 @@ object TextAnalysis {
     graft.functions.CountInSet.countInSet(t, stopwords).cast("double") / size(t)
   }
 
-  /** Fraction of characters that are not alphanumeric/space. */
+  /** Fraction of characters that are not alphanumeric/space. Native
+    * one-pass count — the equivalent length − length(regexp_replace)
+    * runs the regex engine and allocates the stripped copy per doc. */
   def punctRatio(text: Column): Column =
-    (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))).cast("double") /
-      length(text)
+    graft.functions.PunctCount.punctCount(text).cast("double") / length(text)
 
   /** Composite quality score in [0,1]: reward length (saturating at
     * `fullLengthTokens`), lexical diversity, low stopword share, low
