@@ -99,12 +99,12 @@ object TextAnalysis {
   }
 
   /** Polynomial rolling-hash fingerprint of the normalized text:
-    * fold over characters of acc·31 + code (mod 2^61-1) — one aggregate
-    * expression, no UDF. Collisions are ~n²/2^61; for exact-dedup gate use
+    * fold over codepoints of acc·31 + code (mod 2^61-1), computed by the
+    * native [[graft.functions.RollingHashExpr]] — one byte pass instead
+    * of the interpreted per-char `aggregate(split(s, ""), ...)` fold.
+    * Collisions are ~n²/2^61; for exact-dedup gate use
     * [[Dedup.fingerprint]] (md5). */
-  def rollingFingerprint(text: Column): Column = {
-    val p = lit((1L << 61) - 1)
-    val chars = split(regexp_replace(lower(text), "\\s+", " "), "")
-    aggregate(chars, lit(0L), (acc, c) => pmod(acc * 31 + ascii(c), p))
-  }
+  def rollingFingerprint(text: Column): Column =
+    graft.functions.RollingHash.rollingHash(
+      regexp_replace(lower(text), "\\s+", " "))
 }
