@@ -124,8 +124,9 @@ object Bench {
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     // mid-run multicore probes: before/after can miss a contention window
-    // that opens mid-run; sample at the 1/3 and 2/3 marks too and keep the
-    // worst (max) for the drift check, min for the box-speed figure
+    // that opens mid-run; sample at the 1/4, 1/2 and 3/4 marks too — the
+    // gate uses the MEDIAN of all post-warmup samples, the JSON reports
+    // min (box-speed figure), max (worst), and the full sample list
     val midMarks = Set(all.size / 4, all.size / 2, 3 * all.size / 4)
     val midPar = collection.mutable.ArrayBuffer.empty[Double]
     val results = all.zipWithIndex.map { case ((name, fn), i) =>
@@ -162,7 +163,7 @@ object Bench {
     if (!calibOk)
       System.err.println(f"BENCH CALIBRATION FAILURE: single-thread probe " +
         f"$calib%.3fs vs ref $CalibRef%.3fs (${calibRatio}%.2fx), multicore " +
-        f"probe $calibPar%.3fs vs ref $CalibParRef%.3fs (${calibParRatio}%.2fx) " +
+        f"probe median $calibParMed%.3fs vs ref $CalibParRef%.3fs (${calibParRatio}%.2fx) " +
         "— box is not at reference speed; timings below cannot support a " +
         "regression verdict")
 

@@ -225,7 +225,11 @@ object BatchRiskLoc {
         when(col("n_nz") > 0 && col("w2").isNotNull && col("w2") =!= 0.0,
           coalesce(col("w1"), lit(0.0)) / col("w2")).otherwise(0.0))
       .withColumn("risk", col("high") - col("low"))
-      .filter(col("risk") >= opt.riskThreshold)
+      // Scala's `_.risk >= threshold` is FALSE for NaN (any Double
+      // comparison with NaN is), but Spark SQL treats NaN as the largest
+      // value, so a bare >= would pass a NaN risk (possible when +-Inf
+      // survives into the w1/w2 means) that the sequential scan skips.
+      .filter(!isnan(col("risk")) && col("risk") >= opt.riskThreshold)
       .withColumn("__rn", row_number().over(
         Window.partitionBy("inst", "cid").orderBy(desc("ep"), asc("key"))))
       .filter(col("__rn") === 1)

@@ -133,18 +133,32 @@ object BatchRobustSpot {
             }.toMap
         } else {
           // idSampleCap bounds the per-instance knee vector (the collect is
-          // O(positive IDs) otherwise — 24M-row instances blow the driver);
-          // the cap applies to the LARGEST instance, one count action total
+          // O(positive IDs) otherwise — 24M-row instances blow the driver).
+          // The fraction is PER INSTANCE, like the sequential path: a
+          // small instance batched next to a huge one keeps ALL its IDs
+          // (one count action; the collected map is one row per instance)
           val positives = scored.filter(!isnan(col("ID")) && col("ID") > 0)
-          val frac =
-            if (opt.idSampleFraction < 1.0) opt.idSampleFraction
-            else {
-              val maxN = positives.groupBy(inst).count()
-                .agg(coalesce(max("count"), lit(0L))).collect()(0).getLong(0)
-              if (maxN > opt.idSampleCap) opt.idSampleCap.toDouble / maxN else 1.0
-            }
+          val fracs: Map[String, Double] = positives.groupBy(inst).count()
+            .collect().map { r =>
+              val n = r.getLong(1)
+              r.get(0).toString -> (
+                if (opt.idSampleFraction < 1.0) opt.idSampleFraction
+                else if (n > opt.idSampleCap) opt.idSampleCap.toDouble / n
+                else 1.0)
+            }.toMap
           val sampled =
-            if (frac < 1.0) positives.sample(frac, seed = 42L) else positives
+            if (fracs.values.forall(_ >= 1.0)) positives
+            else {
+              // deterministic leaf-hash thinning (same idiom as the
+              // Squeeze/AutoRoot driver-statistic bounds): keep a row iff
+              // hash(attrs) mod M < frac·M — reproducible, per-instance
+              val M = 1L << 20
+              val fracDf = broadcast(fracs.toSeq.toDF("__fi", "__frac"))
+              positives.join(fracDf, inst.cast("string") === col("__fi"))
+                .filter(pmod(xxhash64(attributes.map(col): _*), lit(M)) <
+                  col("__frac") * M)
+                .drop("__fi", "__frac")
+            }
           sampled.groupBy(inst.as("__i"))
             .agg(VectorAgg.collectVector(col("ID")).as("idv"))
             .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toArray.sorted).toMap

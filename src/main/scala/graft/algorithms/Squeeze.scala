@@ -227,21 +227,29 @@ object Squeeze {
     // Cluster searches are independent (read-only over the shared cached
     // frame): run them on concurrent driver threads so their many small
     // jobs interleave instead of serializing driver round-trips. Results
-    // keep interval order; per-cluster arithmetic is unchanged.
+    // keep interval order; per-cluster arithmetic is unchanged. Each
+    // thread traces into a private buffer, flushed in interval order
+    // after the join — concurrent runs emit the SAME trace stream as the
+    // sequential loop did (SqTrace diffs against the reference rely on
+    // deterministic line order).
     val rootCauses = {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
       intervals.zip(subTotals).map { case ((lo, hi), (nSubTotal, l1SubTotal)) =>
         Future {
+          val buf = collection.mutable.ArrayBuffer.empty[String]
+          val copt = opt.copy(trace = buf.append(_))
           val members = devs.filter(d => d >= lo && d <= hi)
-          opt.trace(s"CLUSTER n=${members.length} devmin=${members.min} devmax=${members.max}")
+          copt.trace(s"CLUSTER n=${members.length} devmin=${members.min} devmax=${members.max}")
           val rc = locateInCluster(df, attributes, lo, hi, isNormal, scoreWeight,
-            nSubTotal, l1SubTotal, opt)
-          rc.foreach(r => opt.trace(s"  PICK ${r.map(_.label).sorted.mkString(";")}"))
-          rc
+            nSubTotal, l1SubTotal, copt)
+          rc.foreach(r => copt.trace(s"  PICK ${r.map(_.label).sorted.mkString(";")}"))
+          (rc, buf)
         }
-      }.map(Await.result(_, Duration.Inf)).collect { case Some(rc) => rc }
+      }.map(Await.result(_, Duration.Inf))
+        .map { case (rc, buf) => buf.foreach(opt.trace); rc }
+        .collect { case Some(rc) => rc }
     }
 
     df.unpersist(); base.unpersist()

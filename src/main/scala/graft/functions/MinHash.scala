@@ -20,12 +20,17 @@ import org.apache.spark.sql.types._
   * minima in a local long[]), emitted as a static call inside
   * whole-stage codegen.
   *
-  * Semantics match the HoF formulation bit-for-bit: `h·a + b` wraps in
-  * 64-bit arithmetic exactly like the Catalyst multiply/add, pmod is
-  * `r = x % p; if (r < 0) r += p`, `array_min` skips null elements, and
-  * an empty (or all-null) hash array yields a null signature element.
-  * Coefficients come from the same seeded generator as the previous
-  * column-algebra version, so committed golden digests are unchanged. */
+  * Semantics match the HoF formulation bit-for-bit for non-null hash
+  * arrays: `h·a + b` wraps in 64-bit arithmetic exactly like the
+  * Catalyst multiply/add, pmod is `r = x % p; if (r < 0) r += p`,
+  * `array_min` skips null elements, and an empty (or all-null) hash
+  * array yields a null signature element. Coefficients come from the
+  * same seeded generator as the previous column-algebra version, so
+  * committed golden digests are unchanged. One DELIBERATE divergence,
+  * consistent with [[JaccardSim]]: a null ARRAY (null document text)
+  * yields a null signature, where the column formulation produced an
+  * array of k nulls whose band hashes degenerated to hash(band-index) —
+  * every null-text doc became an LSH candidate of every other. */
 final case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
     extends UnaryExpression {
 

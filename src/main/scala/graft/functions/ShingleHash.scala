@@ -63,25 +63,30 @@ object ShingleHash {
     var i = 0
     while (i < windows) {
       val width = if (m < n) m else n
-      // concat_ws(" ", window): join non-null tokens with one space
+      // concat_ws(" ", window): join non-null tokens with one space.
+      // Empty strings ARE joinable parts (["", "a"] -> " a"), so "need a
+      // separator" is tracked by part COUNT, not by bytes written.
       var total = 0
+      var parts = 0
       var k = 0
       while (k < width) {
         if (!toks.isNullAt(i + k)) {
-          val t = toks.getUTF8String(i + k)
-          total += (if (total > 0) 1 else 0) + t.numBytes
+          total += (if (parts > 0) 1 else 0) + toks.getUTF8String(i + k).numBytes
+          parts += 1
         }
         k += 1
       }
       if (total > buf.length) buf = new Array[Byte](Integer.highestOneBit(total) * 2)
       var off = 0
+      parts = 0
       k = 0
       while (k < width) {
         if (!toks.isNullAt(i + k)) {
           val t = toks.getUTF8String(i + k)
-          if (off > 0) { buf(off) = ' '; off += 1 }
+          if (parts > 0) { buf(off) = ' '; off += 1 }
           t.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + off)
           off += t.numBytes
+          parts += 1
         }
         k += 1
       }

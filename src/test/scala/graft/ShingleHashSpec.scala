@@ -46,6 +46,18 @@ class ShingleHashSpec extends AnyFunSuite {
     }
   }
 
+  test("empty tokens (leading/trailing whitespace) keep their separators") {
+    // split(" a b", "\\s+") = ["", "a", "b"]: concat_ws(" ", ["", "a"])
+    // is " a" (empty strings are joinable parts), NOT "a"
+    val df = Seq(" a b c", "a  b", "\ta b ").toDF("text")
+      .select(split(col("text"), "\\s+").as("t"))
+    for (n <- Seq(1, 2, 3)) {
+      df.select(ShingleHash.shingleHashes(col("t"), n).as("native"),
+          hofShingleHashes(col("t"), n).as("hof")).collect()
+        .foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"n=$n"))
+    }
+  }
+
   test("null tokens are skipped like concat_ws") {
     val df = spark.sql("SELECT array('a', NULL, 'b', 'c') AS t")
     val got = df.select(ShingleHash.shingleHashes(col("t"), 2).as("native"),
