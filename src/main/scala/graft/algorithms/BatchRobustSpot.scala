@@ -76,9 +76,14 @@ object BatchRobustSpot {
     /** One batched select-expand-mine round over `frame` (already filtered
       * to the round's active instances and dropped causes). Returns the
       * per-instance top-5 causes, the flagged frame (persisted — caller
-      * unpersists), and the per-instance (nBefore, nAfter) totals. */
-    def roundPass(round: Int, frame: DataFrame)
+      * unpersists), and the per-instance (nBefore, nAfter) totals.
+      * `sink` receives the round's trace lines — concurrent chains pass a
+      * private buffer so the overall trace stream stays deterministic. */
+    def roundPass(round: Int, frame: DataFrame,
+        sink: String => Unit = effOpt.trace)
         : (Map[String, Seq[Cause]], DataFrame, Map[String, (Double, Double)]) = {
+      def traceFor(i: String): Options =
+        effOpt.copy(trace = s => sink(s"[$i] $s"))
       // --- global sums per instance (ID_CA.py:5-9,29-39)
       val sums: Map[String, Sums] =
         if (parity) {
@@ -243,31 +248,52 @@ object BatchRobustSpot {
     val (rc0, flagged0, totals0) = roundPass(0, adapted)
     for ((i, cs) <- rc0) rc(i)(0) = cs
 
+    // The three two-round chains (1→2, 3→4, 5→6) are independent given
+    // round 0: run them on concurrent driver threads so their batched
+    // DAGs overlap instead of serializing six roundPass round-trips
+    // (same shape as the sequential path's chain concurrency, VERDICT
+    // r6 #2). Each chain writes disjoint rc slots and traces into a
+    // private buffer flushed in chain order (= round order 1..6).
     val laterFrames = collection.mutable.ArrayBuffer.empty[DataFrame]
-    for (dim1 <- 1 to 3) {
-      val i1 = 2 * dim1 - 1
-      val active1 = allInstances.filter(i => rc(i)(0).size >= dim1)
-      if (active1.nonEmpty) {
-        // rounds 1/3/5 drop round-0's top-dim1 cause from the full frame
-        val drops1 = active1.map(i => (i, rc(i)(0)(dim1 - 1).toMap)).toDF("__di", "__c1")
-        val frame1 = adapted.join(broadcast(drops1), inst === col("__di"))
-          .filter(!matchesCause(col("__c1"))).drop("__di", "__c1")
-        val (rc1, fl1, _) = roundPass(i1, frame1)
-        laterFrames += fl1
-        for ((i, cs) <- rc1) rc(i)(i1) = cs
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val chains = (1 to 3).map { dim1 =>
+        Future {
+          val buf = collection.mutable.ArrayBuffer.empty[String]
+          val frames = collection.mutable.ArrayBuffer.empty[DataFrame]
+          val i1 = 2 * dim1 - 1
+          val active1 = allInstances.filter(i => rc(i)(0).size >= dim1)
+          if (active1.nonEmpty) {
+            // rounds 1/3/5 drop round-0's top-dim1 cause from the full frame
+            val drops1 = active1.map(i => (i, rc(i)(0)(dim1 - 1).toMap)).toDF("__di", "__c1")
+            val frame1 = adapted.join(broadcast(drops1), inst === col("__di"))
+              .filter(!matchesCause(col("__c1"))).drop("__di", "__c1")
+            val (rc1, fl1, _) = roundPass(i1, frame1, buf.append(_))
+            frames += fl1
+            for ((i, cs) <- rc1) rc(i)(i1) = cs
 
-        // rounds 2/4/6 additionally drop the previous round's top cause
-        val active2 = active1.filter(i => rc(i)(i1).nonEmpty)
-        if (active2.nonEmpty) {
-          val drops2 = active2.map(i =>
-            (i, rc(i)(0)(dim1 - 1).toMap, rc(i)(i1).head.toMap)).toDF("__di", "__c1", "__c2")
-          val frame2 = adapted.join(broadcast(drops2), inst === col("__di"))
-            .filter(!matchesCause(col("__c1")) && !matchesCause(col("__c2")))
-            .drop("__di", "__c1", "__c2")
-          val (rc2, fl2, _) = roundPass(i1 + 1, frame2)
-          laterFrames += fl2
-          for ((i, cs) <- rc2) rc(i)(i1 + 1) = cs
+            // rounds 2/4/6 additionally drop the previous round's top cause
+            val active2 = active1.filter(i => rc(i)(i1).nonEmpty)
+            if (active2.nonEmpty) {
+              val drops2 = active2.map(i =>
+                (i, rc(i)(0)(dim1 - 1).toMap, rc(i)(i1).head.toMap)).toDF("__di", "__c1", "__c2")
+              val frame2 = adapted.join(broadcast(drops2), inst === col("__di"))
+                .filter(!matchesCause(col("__c1")) && !matchesCause(col("__c2")))
+                .drop("__di", "__c1", "__c2")
+              val (rc2, fl2, _) = roundPass(i1 + 1, frame2, buf.append(_))
+              frames += fl2
+              for ((i, cs) <- rc2) rc(i)(i1 + 1) = cs
+            }
+          }
+          (buf, frames)
         }
+      }
+      chains.foreach { f =>
+        val (buf, frames) = Await.result(f, Duration.Inf)
+        buf.foreach(effOpt.trace)
+        laterFrames ++= frames
       }
     }
     laterFrames.foreach(_.unpersist())
