@@ -84,7 +84,16 @@ object AutoRoot {
     // best candidate per cluster, chosen across layers by avg score
     val best = collection.mutable.Map.empty[Int, (Double, RootCause)]
 
-    for (layer <- 1 to attributes.size) {
+    // Layers are independent given the cluster assignment; only the
+    // best-split update is order-sensitive (strict >, earlier layer wins
+    // ties). Per-layer Spark passes run on concurrent driver threads;
+    // the driver-side merge applies their collected rows sequentially in
+    // layer order below (same shape as BatchAutoRoot).
+    val layerResults = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      (1 to attributes.size).map { layer => Future {
       val cuboids = attributes.combinations(layer).toSeq
       // NOT persisted: the explode is a narrow projection of a cached
       // parent multiplied by the cuboid count; caching that blowup spills
@@ -110,7 +119,9 @@ object AutoRoot {
       }.reduce(_ || _)
       val cands = counts.filter(candCond).persist(StorageLevel.MEMORY_AND_DISK)
 
-      if (cands.limit(1).count() > 0) {
+      val rows: Array[Row] =
+        if (cands.limit(1).count() == 0) Array.empty
+        else {
         // NPS statistics for every candidate element, two batched passes.
         // Selection semantics replicate the reference's layer>=2 quirk
         // (autoroot.py:125-129): the element tuple is passed UNWRAPPED to
@@ -144,9 +155,15 @@ object AutoRoot {
           .groupBy(col("rcid").as("cid"), col("rkey").as("key"))
           .agg(avg("term_a").as("a"))
 
-        val rows = cands.join(stats1, Seq("cid", "key")).join(stats2, Seq("cid", "key"))
+        cands.join(stats1, Seq("cid", "key")).join(stats2, Seq("cid", "key"))
           .collect()
+        }
+      cands.unpersist(); counts.unpersist()
+      (layer, cuboids, rows)
+      } }.map(Await.result(_, Duration.Inf))
+    }
 
+    for ((layer, cuboids, rows) <- layerResults if rows.nonEmpty) {
         // driver: per cluster, per cuboid -> best-NPS split; across cuboids
         // and layers -> best avg (strict >, earlier cuboid wins ties)
         for (k <- clusters) {
@@ -191,8 +208,6 @@ object AutoRoot {
             }
           }
         }
-      }
-      cands.unpersist(); counts.unpersist()
     }
 
     withCluster.unpersist(); df.unpersist()

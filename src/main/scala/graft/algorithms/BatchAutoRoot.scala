@@ -104,7 +104,17 @@ object BatchAutoRoot {
     // best candidate per (instance, cluster), across layers by avg score
     val best = collection.mutable.Map.empty[(String, Int), (Double, RootCause)]
 
-    for (layer <- 1 to attributes.size) {
+    // Layers are independent given the cluster assignment (each computes
+    // its own candidates and NPS stats off the shared cached base); only
+    // the best-split merge is order-sensitive ("strict >, earlier layer
+    // wins" on ties). So the per-layer Spark passes run on concurrent
+    // driver threads and the driver-side merge applies their results
+    // sequentially in layer order below.
+    val layerResults = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      (1 to attributes.size).map { layer => Future {
       val cuboids = attributes.combinations(layer).toSeq
       // NOT persisted: the explode is a narrow projection of a cached
       // parent multiplied by the cuboid count; caching that blowup spills
@@ -137,7 +147,9 @@ object BatchAutoRoot {
         .select(col("__i"), col("cid"), col("key"), col("k"), col("x"), col("y"))
         .collect()
 
-      if (candPairs.nonEmpty) {
+      val statRows: Map[(String, Int, Seq[String]), (Long, Double, Double)] =
+        if (candPairs.isEmpty) Map.empty
+        else {
         // NPS statistics once per DISTINCT (instance, element) — value-set
         // selection semantics as in AutoRoot.run (layer>=2 quirk)
         val candKeys = candPairs.map(r => (r.getString(0), r.getInt(1), r.getSeq[String](2)))
@@ -178,13 +190,21 @@ object BatchAutoRoot {
           .groupBy(col("ri").as("__i"), col("rcid").as("cid"), col("rkey").as("key"))
           .agg(avg("term_a").as("a"))
 
-        val statRows: Map[(String, Int, Seq[String]), (Long, Double, Double)] =
-          stats1.join(stats2, Seq("__i", "cid", "key"))
-            .select(col("__i"), col("cid"), col("key"), col("n_sel"), col("sum_b"), col("a"))
-            .collect()
-            .map(r => (r.getString(0), r.getInt(1), r.getSeq[String](2)) ->
-              (r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+        stats1.join(stats2, Seq("__i", "cid", "key"))
+          .select(col("__i"), col("cid"), col("key"), col("n_sel"), col("sum_b"), col("a"))
+          .collect()
+          .map(r => (r.getString(0), r.getInt(1), r.getSeq[String](2)) ->
+            (r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+        }
+      counts.unpersist()
+      (layer, cuboids, candPairs, statRows)
+      } }.map(Await.result(_, Duration.Inf))
+    }
 
+    // driver-side merge, sequential in layer order (earlier layer wins
+    // avg-score ties via strict >)
+    for ((layer, cuboids, candPairs, statRows) <- layerResults
+         if candPairs.nonEmpty) {
         // driver: per (instance, cluster), per cuboid -> best-NPS split;
         // across cuboids and layers -> best avg (strict >, earlier wins)
         val byPair = candPairs.groupBy(r => (r.getString(0), r.getInt(3)))
@@ -222,8 +242,6 @@ object BatchAutoRoot {
             }
           }
         }
-      }
-      counts.unpersist()
     }
 
     expandBase.unpersist(); withCluster.unpersist(); df.unpersist()
