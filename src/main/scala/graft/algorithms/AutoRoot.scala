@@ -86,14 +86,12 @@ object AutoRoot {
 
     // Layers are independent given the cluster assignment; only the
     // best-split update is order-sensitive (strict >, earlier layer wins
-    // ties). Per-layer Spark passes run on concurrent driver threads;
-    // the driver-side merge applies their collected rows sequentially in
-    // layer order below (same shape as BatchAutoRoot).
-    val layerResults = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      (1 to attributes.size).map { layer => Future {
+    // ties). Per-layer Spark passes run on a bounded concurrent pool
+    // (graft.core.Concurrency: caps simultaneous persisted counts/cands
+    // frames); the driver-side merge applies their collected rows
+    // sequentially in layer order below (same shape as BatchAutoRoot).
+    val layerResults = graft.core.Concurrency.awaitAll(
+      (1 to attributes.size).map { layer => () => {
       val cuboids = attributes.combinations(layer).toSeq
       // NOT persisted: the explode is a narrow projection of a cached
       // parent multiplied by the cuboid count; caching that blowup spills
@@ -160,8 +158,7 @@ object AutoRoot {
         }
       cands.unpersist(); counts.unpersist()
       (layer, cuboids, rows)
-      } }.map(Await.result(_, Duration.Inf))
-    }
+      } })
 
     for ((layer, cuboids, rows) <- layerResults if rows.nonEmpty) {
         // driver: per cluster, per cuboid -> best-NPS split; across cuboids

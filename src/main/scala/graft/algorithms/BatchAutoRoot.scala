@@ -107,14 +107,12 @@ object BatchAutoRoot {
     // Layers are independent given the cluster assignment (each computes
     // its own candidates and NPS stats off the shared cached base); only
     // the best-split merge is order-sensitive ("strict >, earlier layer
-    // wins" on ties). So the per-layer Spark passes run on concurrent
-    // driver threads and the driver-side merge applies their results
-    // sequentially in layer order below.
-    val layerResults = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      (1 to attributes.size).map { layer => Future {
+    // wins" on ties). So the per-layer Spark passes run on a bounded
+    // concurrent pool (graft.core.Concurrency: caps simultaneous
+    // persisted counts frames) and the driver-side merge applies their
+    // results sequentially in layer order below.
+    val layerResults = graft.core.Concurrency.awaitAll(
+      (1 to attributes.size).map { layer => () => {
       val cuboids = attributes.combinations(layer).toSeq
       // NOT persisted: the explode is a narrow projection of a cached
       // parent multiplied by the cuboid count; caching that blowup spills
@@ -198,8 +196,7 @@ object BatchAutoRoot {
         }
       counts.unpersist()
       (layer, cuboids, candPairs, statRows)
-      } }.map(Await.result(_, Duration.Inf))
-    }
+      } })
 
     // driver-side merge, sequential in layer order (earlier layer wins
     // avg-score ties via strict >)

@@ -256,11 +256,8 @@ object BatchRobustSpot {
     // private buffer flushed in chain order (= round order 1..6).
     val laterFrames = collection.mutable.ArrayBuffer.empty[DataFrame]
     locally {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val chains = (1 to 3).map { dim1 =>
-        Future {
+      val chains = graft.core.Concurrency.awaitAll(
+        (1 to 3).map { dim1 => () => {
           val buf = collection.mutable.ArrayBuffer.empty[String]
           val frames = collection.mutable.ArrayBuffer.empty[DataFrame]
           val i1 = 2 * dim1 - 1
@@ -288,10 +285,8 @@ object BatchRobustSpot {
             }
           }
           (buf, frames)
-        }
-      }
-      chains.foreach { f =>
-        val (buf, frames) = Await.result(f, Duration.Inf)
+        } })
+      chains.foreach { case (buf, frames) =>
         buf.foreach(effOpt.trace)
         laterFrames ++= frames
       }

@@ -462,28 +462,20 @@ object RobustSpot {
     // traces into a private buffer, flushed in chain order (= round
     // order 1..6) after the join, so the trace stream stays identical to
     // the sequential loop's (RsTrace diffs rely on line order).
-    {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val chains = (1 to 3).map { dim1 =>
-        Future {
-          val buf = collection.mutable.ArrayBuffer.empty[String]
-          val copt = effOpt.copy(trace = buf.append(_))
-          val i1 = 2 * dim1 - 1
-          if (rc(0).size >= dim1) {
-            states(i1) = selectExpand(dropCause(states(0).before, rc(0)(dim1 - 1)), attributes, copt)
-            rc(i1) = mine(states(i1), attributes, copt, i1)
-            if (rc(i1).nonEmpty) {
-              states(i1 + 1) = selectExpand(dropCause(states(i1).before, rc(i1).head), attributes, copt)
-              rc(i1 + 1) = mine(states(i1 + 1), attributes, copt, i1 + 1)
-            }
-          }
-          buf
+    graft.core.Concurrency.awaitAll((1 to 3).map { dim1 => () => {
+      val buf = collection.mutable.ArrayBuffer.empty[String]
+      val copt = effOpt.copy(trace = buf.append(_))
+      val i1 = 2 * dim1 - 1
+      if (rc(0).size >= dim1) {
+        states(i1) = selectExpand(dropCause(states(0).before, rc(0)(dim1 - 1)), attributes, copt)
+        rc(i1) = mine(states(i1), attributes, copt, i1)
+        if (rc(i1).nonEmpty) {
+          states(i1 + 1) = selectExpand(dropCause(states(i1).before, rc(i1).head), attributes, copt)
+          rc(i1 + 1) = mine(states(i1 + 1), attributes, copt, i1 + 1)
         }
       }
-      chains.foreach(f => Await.result(f, Duration.Inf).foreach(effOpt.trace))
-    }
+      buf
+    } }).foreach(_.foreach(effOpt.trace))
 
     var mergeRes: Seq[Seq[Cause]] = mergeRounds(rc.toIndexedSeq)
 

@@ -232,25 +232,19 @@ object Squeeze {
     // after the join — concurrent runs emit the SAME trace stream as the
     // sequential loop did (SqTrace diffs against the reference rely on
     // deterministic line order).
-    val rootCauses = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      intervals.zip(subTotals).map { case ((lo, hi), (nSubTotal, l1SubTotal)) =>
-        Future {
-          val buf = collection.mutable.ArrayBuffer.empty[String]
-          val copt = opt.copy(trace = buf.append(_))
-          val members = devs.filter(d => d >= lo && d <= hi)
-          copt.trace(s"CLUSTER n=${members.length} devmin=${members.min} devmax=${members.max}")
-          val rc = locateInCluster(df, attributes, lo, hi, isNormal, scoreWeight,
-            nSubTotal, l1SubTotal, copt)
-          rc.foreach(r => copt.trace(s"  PICK ${r.map(_.label).sorted.mkString(";")}"))
-          (rc, buf)
-        }
-      }.map(Await.result(_, Duration.Inf))
-        .map { case (rc, buf) => buf.foreach(opt.trace); rc }
-        .collect { case Some(rc) => rc }
-    }
+    val rootCauses = graft.core.Concurrency.awaitAll(
+      intervals.zip(subTotals).map { case ((lo, hi), (nSubTotal, l1SubTotal)) => () => {
+        val buf = collection.mutable.ArrayBuffer.empty[String]
+        val copt = opt.copy(trace = buf.append(_))
+        val members = devs.filter(d => d >= lo && d <= hi)
+        copt.trace(s"CLUSTER n=${members.length} devmin=${members.min} devmax=${members.max}")
+        val rc = locateInCluster(df, attributes, lo, hi, isNormal, scoreWeight,
+          nSubTotal, l1SubTotal, copt)
+        rc.foreach(r => copt.trace(s"  PICK ${r.map(_.label).sorted.mkString(";")}"))
+        (rc, buf)
+      } })
+      .map { case (rc, buf) => buf.foreach(opt.trace); rc }
+      .collect { case Some(rc) => rc }
 
     df.unpersist(); base.unpersist()
     Labels.canonicalPredictions(
