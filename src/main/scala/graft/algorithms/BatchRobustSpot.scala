@@ -35,9 +35,11 @@ import org.apache.spark.storage.StorageLevel
   * Timsort-with-NaNs scramble (PyListSort) — bit-for-bit the sequential
   * parity path, so the RS corpus golden holds case-by-case. NOTE: parity
   * mode collects each instance's full measure vectors to the driver at
-  * once (O(corpus rows) doubles); at extreme scale run the scale path
-  * (no `__row`) whose only per-instance driver vector is the positive-ID
-  * knee input, bounded by `Options.idSampleFraction`.
+  * once (O(corpus rows) doubles) — and the three concurrent drill-down
+  * chains can each hold such vectors simultaneously (~3x the sequential
+  * peak); at extreme scale run the scale path (no `__row`) whose only
+  * per-instance driver vector is the positive-ID knee input, bounded by
+  * `Options.idSampleCap` per instance.
   *
   * Instances may carry different attribute SETS only via separate calls
   * (the attribute list is positional in the mining bitmask); group a
