@@ -243,12 +243,25 @@ object BatchRiskLoc {
     }.toMap
   }
 
-  /** One remove-and-repeat iteration for EVERY active instance. Returns
-    * the found cause per instance (instances without one are done). */
+  /** One remove-and-repeat iteration for EVERY instance in `adjThreshold`
+    * (the caller's pre-check active set). Runs the per-instance
+    * continuation check (anomalous EP mass >= threshold) and the layer-1
+    * candidate sums as ONE concurrent pair — the layer-1 pass is
+    * speculative over the pre-check set, and sums for instances the check
+    * retires are discarded before they become prune updates or
+    * candidates. When `speculateDeep` (the previous iteration needed the
+    * deep layers — remove-and-repeat causes cluster at one depth), the
+    * deep-layer candidate frame is materialized concurrently with the
+    * layer-1 risk pass; instances that do win at layer 1 get their deep
+    * candidates filtered back out before the deep risk pass, so winner
+    * selection is unchanged. Returns the found cause per instance
+    * (instances without one are done) plus whether the deep stage ran —
+    * the next iteration's speculation hint. */
   private def searchAll(df: DataFrame, instanceCol: String, attributes: Seq[String],
       adjThreshold: Map[String, Double],
       pruned: collection.mutable.Map[String, collection.mutable.Map[String, collection.mutable.ArrayBuffer[String]]],
-      opt: RiskLoc.Options): Map[String, RootCause] = {
+      speculateDeep: Boolean,
+      opt: RiskLoc.Options): (Map[String, RootCause], Boolean) = {
     val spark = df.sparkSession
     import spark.implicits._
     val inst = col(instanceCol)
@@ -257,9 +270,9 @@ object BatchRiskLoc {
       pruned.getOrElse(i, collection.mutable.Map.empty)
         .iterator.map { case (k, v) => k -> v.toSeq }.toMap
     val usePrune = opt.pruneElements
-    val instances = adjThreshold.keySet
+    val instances0 = adjThreshold.keySet
     val statesOld: Map[String, PruneState] =
-      if (usePrune) instances.iterator.map(i => i -> snapshot(i)).toMap else Map.empty
+      if (usePrune) instances0.iterator.map(i => i -> snapshot(i)).toMap else Map.empty
 
     // ---- stage 1: layer 1 for all instances
     val layer1 = attributes.map(Seq(_)).zipWithIndex
@@ -269,11 +282,20 @@ object BatchRiskLoc {
     // manager under 32-way eviction (observed r7) — recomputing per pass
     // is map-side CPU only.
     val exploded1 = expand(df, instanceCol, attributes, layer1, statesOld)
-    val epsA = exploded1
-      .groupBy(inst.as("inst"), col("cb.cid").as("cid"), col("cb.key").as("key"))
-      .agg(Scores.pandasSum(col("ep")).as("ep"),
-        sum("ep_z").as("ep_z"), sum("partition").as("part_sum"))
-      .collect()
+    val wave1 = graft.core.Concurrency.awaitAll[Array[Row]](Seq(
+      () => df.filter(col("partition") === 1)
+        .groupBy(inst.as("__i")).agg(Scores.pandasSum(col("ep")).as("__eps"))
+        .collect(),
+      () => exploded1
+        .groupBy(inst.as("inst"), col("cb.cid").as("cid"), col("cb.key").as("key"))
+        .agg(Scores.pandasSum(col("ep")).as("ep"),
+          sum("ep_z").as("ep_z"), sum("partition").as("part_sum"))
+        .collect()))
+    val epMass = wave1(0).map(r =>
+      r.getString(0) -> (if (r.isNullAt(1)) 0.0 else r.getDouble(1))).toMap
+    val instances = instances0.filter(i => epMass.getOrElse(i, 0.0) >= adjThreshold(i))
+    if (instances.isEmpty) return (Map.empty, false)
+    val epsA = wave1(1).filter(r => instances.contains(r.getString(0)))
 
     if (usePrune) {
       epsA.foreach { r =>
@@ -294,7 +316,7 @@ object BatchRiskLoc {
         rows.sortBy(-_._4).take(opt.maxCandidatesPerCuboid)
       }
 
-    val winners1: Map[String, Winner] =
+    def winners1Pass(): Map[String, Winner] =
       if (candL1.isEmpty) Map.empty
       else riskWinners(exploded1, instanceCol,
         candL1.toDF("inst", "cid", "key", "ep"), opt)
@@ -302,51 +324,87 @@ object BatchRiskLoc {
         .map { case (i, ws) => i -> ws.sortBy(w => (-w.ep, w.cid)).head }
 
     val found = collection.mutable.Map.empty[String, RootCause]
-    winners1.foreach { case (i, w) =>
-      val cuboid = Seq(attributes(w.cid))
-      found(i) = RootCause(Seq(Element(cuboid, w.key)), cuboid, 1,
-        Map("ep" -> w.ep, "high_risk" -> w.high, "low_risk" -> w.low, "risk" -> w.risk))
-    }
-    if (nAttrs == 1) return found.toMap
+    def recordLayer1(winners1: Map[String, Winner]): Unit =
+      winners1.foreach { case (i, w) =>
+        val cuboid = Seq(attributes(w.cid))
+        found(i) = RootCause(Seq(Element(cuboid, w.key)), cuboid, 1,
+          Map("ep" -> w.ep, "high_risk" -> w.high, "low_risk" -> w.low, "risk" -> w.risk))
+      }
+    if (nAttrs == 1) { recordLayer1(winners1Pass()); return (found.toMap, false) }
 
     // ---- stage 2: deeper layers, only for instances without a layer-1 win
-    val deepInstances = instances -- found.keySet
-    if (deepInstances.isEmpty) return found.toMap
     val deep = (2 to nAttrs).flatMap(l => attributes.combinations(l).toSeq)
       .zipWithIndex.map { case (c, i) => (c, i + nAttrs) }
     val deepCuboids = deep.map(_._1)
     def layerOf(cid: Int): Int = deepCuboids(cid - nAttrs).size
 
-    val dfDeep = df.filter(inst.isin(deepInstances.toSeq: _*))
-    val exploded2 = expand(dfDeep, instanceCol, attributes, deep, statesNew)
-    val thresholdDf = broadcast(adjThreshold.toSeq.toDF("__ti", "__thr"))
-    val candsDeep = exploded2
-      .groupBy(inst.as("inst"), col("cb.cid").as("cid"), col("cb.key").as("key"))
-      .agg(Scores.pandasSum(col("ep")).as("ep"), sum("partition").as("part_sum"))
-      .join(thresholdDf, col("inst") === col("__ti"))
-      .filter(col("part_sum") > 0 && col("ep") > col("__thr"))
-      .select("inst", "cid", "key", "ep")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("inst", "cid").orderBy(desc("ep"))))
-      .filter(col("rn") <= opt.maxCandidatesPerCuboid)
-      .drop("rn")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    def buildDeepCands(forInstances: Set[String]): (DataFrame, DataFrame) = {
+      val dfDeep = if (forInstances == instances0) df
+                   else df.filter(inst.isin(forInstances.toSeq: _*))
+      val exploded2 = expand(dfDeep, instanceCol, attributes, deep, statesNew)
+      val thresholdDf = broadcast(adjThreshold.toSeq.toDF("__ti", "__thr"))
+      val candsDeep = exploded2
+        .groupBy(inst.as("inst"), col("cb.cid").as("cid"), col("cb.key").as("key"))
+        .agg(Scores.pandasSum(col("ep")).as("ep"), sum("partition").as("part_sum"))
+        .join(thresholdDf, col("inst") === col("__ti"))
+        .filter(col("part_sum") > 0 && col("ep") > col("__thr"))
+        .select("inst", "cid", "key", "ep")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("inst", "cid").orderBy(desc("ep"))))
+        .filter(col("rn") <= opt.maxCandidatesPerCuboid)
+        .drop("rn")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (exploded2, candsDeep)
+    }
 
-    val winners2 = riskWinners(exploded2, instanceCol, candsDeep, opt)
-    candsDeep.unpersist()
-
-    winners2.values.toSeq.groupBy(_.instance).foreach { case (i, ws) =>
-      (2 to nAttrs).iterator
-        .map(layer => ws.filter(w => layerOf(w.cid) == layer)
-          .sortBy(w => (-w.ep, w.cid)).headOption)
-        .collectFirst { case Some(w) => w }
-        .foreach { w =>
-          val cuboid = deepCuboids(w.cid - nAttrs)
-          found(i) = RootCause(Seq(Element(cuboid, w.key)), cuboid, cuboid.size,
-            Map("ep" -> w.ep, "high_risk" -> w.high, "low_risk" -> w.low, "risk" -> w.risk))
+    def deepStage(exploded2: DataFrame, candsDeep: DataFrame,
+        deepInstances: Set[String]): Unit = {
+      val candKeys = if (deepInstances == instances) candsDeep
+                     else candsDeep.filter(col("inst").isin(deepInstances.toSeq: _*))
+      riskWinners(exploded2, instanceCol, candKeys, opt)
+        .values.toSeq.groupBy(_.instance).foreach { case (i, ws) =>
+          (2 to nAttrs).iterator
+            .map(layer => ws.filter(w => layerOf(w.cid) == layer)
+              .sortBy(w => (-w.ep, w.cid)).headOption)
+            .collectFirst { case Some(w) => w }
+            .foreach { w =>
+              val cuboid = deepCuboids(w.cid - nAttrs)
+              found(i) = RootCause(Seq(Element(cuboid, w.key)), cuboid, cuboid.size,
+                Map("ep" -> w.ep, "high_risk" -> w.high, "low_risk" -> w.low, "risk" -> w.risk))
+            }
         }
     }
-    found.toMap
+
+    var ranDeep = false
+    if (speculateDeep) {
+      // Materialize the deep candidate frame concurrently with the
+      // layer-1 risk pass. Per-instance deep candidates are identical
+      // whether computed over the full set or deepInstances only (every
+      // aggregation, threshold join and top-n window is instance-keyed),
+      // so the only speculation cost is the explode/agg work for
+      // instances that turn out to win at layer 1.
+      val (exploded2, candsDeep) = buildDeepCands(instances)
+      val wave2 = graft.core.Concurrency.awaitAll[AnyRef](Seq(
+        () => winners1Pass().asInstanceOf[AnyRef],
+        () => { candsDeep.count(); null }))
+      recordLayer1(wave2(0).asInstanceOf[Map[String, Winner]])
+      val deepInstances = instances -- found.keySet
+      if (deepInstances.nonEmpty) {
+        ranDeep = true
+        deepStage(exploded2, candsDeep, deepInstances)
+      }
+      candsDeep.unpersist()
+    } else {
+      recordLayer1(winners1Pass())
+      val deepInstances = instances -- found.keySet
+      if (deepInstances.nonEmpty) {
+        ranDeep = true
+        val (exploded2, candsDeep) = buildDeepCands(deepInstances)
+        deepStage(exploded2, candsDeep, deepInstances)
+        candsDeep.unpersist()
+      }
+    }
+    (found.toMap, ranDeep)
   }
 
   /** Whole-corpus RiskLoc: one instance-keyed DAG per global iteration.
@@ -363,31 +421,34 @@ object BatchRiskLoc {
       .empty[String, collection.mutable.Map[String, collection.mutable.ArrayBuffer[String]]]
     val results = collection.mutable.Map.empty[String, collection.mutable.ArrayBuffer[RootCause]]
     var active: Set[String] = adjThreshold0.keySet
+    // Deep-layer speculation hint: remove-and-repeat causes cluster at one
+    // depth, so "last iteration needed deep layers" predicts the next.
+    // Starts false — a corpus whose causes all sit at layer 1 never pays a
+    // speculative deep explode (the H-scale concern: 57 cuboids x 24M rows).
+    var speculateDeep = false
 
     while (active.nonEmpty) {
-      // per-instance anomalous EP mass: instances below threshold finish
-      val eps = df.filter(col("partition") === 1 && inst.isin(active.toSeq: _*))
-        .groupBy(inst.as("__i")).agg(Scores.pandasSum(col("ep")).as("__eps"))
-        .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) 0.0 else r.getDouble(1))).toMap
-      active = active.filter(i => eps.getOrElse(i, 0.0) >= adjThreshold0(i))
-      if (active.nonEmpty) {
-        val thresholds = adjThreshold0.filter { case (i, _) => active.contains(i) }
-        val found = searchAll(df.filter(inst.isin(active.toSeq: _*)), instanceCol,
-          attributes, thresholds, pruned, opt)
-        active = found.keySet
-        if (found.nonEmpty) {
-          found.foreach { case (i, rc) =>
-            results.getOrElseUpdate(i, collection.mutable.ArrayBuffer.empty) += rc
-          }
-          // remove every found cause's leaves with one instance-keyed filter
-          val removeCond = found.map { case (i, rc) =>
-            inst === i && rc.cuboid.zip(rc.elements.head.pairs.map(_._2))
-              .map { case (a, v) => col(a) === v }.reduce(_ && _)
-          }.reduce(_ || _)
-          val next = df.filter(!removeCond).localCheckpoint(true)
-          df.unpersist()
-          df = next
+      // searchAll runs the per-instance continuation check (anomalous EP
+      // mass below threshold finishes the instance) concurrently with its
+      // layer-1 sums and returns only instances that passed AND found a
+      // cause this iteration.
+      val thresholds = adjThreshold0.filter { case (i, _) => active.contains(i) }
+      val (found, ranDeep) = searchAll(df.filter(inst.isin(active.toSeq: _*)), instanceCol,
+        attributes, thresholds, pruned, speculateDeep, opt)
+      speculateDeep = ranDeep
+      active = found.keySet
+      if (found.nonEmpty) {
+        found.foreach { case (i, rc) =>
+          results.getOrElseUpdate(i, collection.mutable.ArrayBuffer.empty) += rc
         }
+        // remove every found cause's leaves with one instance-keyed filter
+        val removeCond = found.map { case (i, rc) =>
+          inst === i && rc.cuboid.zip(rc.elements.head.pairs.map(_._2))
+            .map { case (a, v) => col(a) === v }.reduce(_ && _)
+        }.reduce(_ || _)
+        val next = df.filter(!removeCond).localCheckpoint(true)
+        df.unpersist()
+        df = next
       }
     }
     df.unpersist()
