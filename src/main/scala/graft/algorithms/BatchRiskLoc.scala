@@ -170,28 +170,35 @@ object BatchRiskLoc {
       .drop(attributes.map(a => s"__pr_$a"): _*)
   }
 
-  /** Batched risk passes keyed by (instance, cid, key); winner selection
-    * per (instance, cuboid) on the driver (RiskLoc.riskWinners shape). */
+  /** Selection-level aggregates (wa/wn/sreal/spred/w2/n_nz) — fused into
+    * every candidate-producing aggregation so the multi-cuboid explode is
+    * computed once for candidates+stats instead of once per pass (the
+    * explode over the H shape's 57 deep cuboids is the dominant stage;
+    * widening the existing (inst, cid, key) hash-agg by six columns is
+    * map-side CPU only, the group count is unchanged). */
+  private def riskAggCols: Seq[Column] = {
+    val nz = col("real") =!= 0 && col("predict") =!= 0
+    Seq(
+      sum(when(col("partition") === 1, col("weight")).otherwise(0.0)).as("wa"),
+      sum(when(col("partition") === 0, col("weight")).otherwise(0.0)).as("wn"),
+      sum(when(nz, col("real")).otherwise(0.0)).as("sreal"),
+      sum(when(nz, col("predict")).otherwise(0.0)).as("spred"),
+      avg(when(nz, abs(col("deviation")))).as("w2"),
+      count(when(nz, lit(1))).as("n_nz"))
+  }
+
+  /** Ripple pass + winner selection keyed by (instance, cid, key).
+    * `candStats` must carry the fused selection-level aggregates
+    * (inst, cid, key, ep, wa, wn, sreal, spred, w2, n_nz) — only the
+    * ripple mean (pass 2) still reads the exploded frame. */
   private def riskWinners(exploded: DataFrame, instanceCol: String,
-      candKeys: DataFrame, opt: RiskLoc.Options): Map[(String, Int), Winner] = {
+      candStats: DataFrame, opt: RiskLoc.Options): Map[(String, Int), Winner] = {
     val nz = col("real") =!= 0 && col("predict") =!= 0
     val inst = col(instanceCol)
-    val stats1 = exploded
-      .join(broadcast(candKeys.select(col("inst").as("ji"), col("cid").as("jcid"), col("key").as("jkey"))),
-        inst === col("ji") && col("cb.cid") === col("jcid") && col("cb.key") === col("jkey"))
-      .groupBy(col("ji").as("inst"), col("jcid").as("cid"), col("jkey").as("key"))
-      .agg(
-        sum(when(col("partition") === 1, col("weight")).otherwise(0.0)).as("wa"),
-        sum(when(col("partition") === 0, col("weight")).otherwise(0.0)).as("wn"),
-        sum(when(nz, col("real")).otherwise(0.0)).as("sreal"),
-        sum(when(nz, col("predict")).otherwise(0.0)).as("spred"),
-        avg(when(nz, abs(col("deviation")))).as("w2"),
-        count(when(nz, lit(1))).as("n_nz"))
-
     // Op order replicates the reference exactly (riskloc.py:66-67) — see
     // the sequential RiskLoc.riskWinners note: a = (predict*sreal)/spred
     // elementwise, and fillna(0) replaces only NaN, keeping true ±Inf.
-    val ratios = stats1.select(col("inst").as("ri"), col("cid").as("rcid"), col("key").as("rkey"),
+    val ratios = candStats.select(col("inst").as("ri"), col("cid").as("rcid"), col("key").as("rkey"),
       col("sreal").as("rsreal"), col("spred").as("rspred"))
     val stats2 = exploded
       .join(broadcast(ratios),
@@ -216,8 +223,7 @@ object BatchRiskLoc {
     // IEEE double ops the driver scan used (riskloc.py:51-55); key order by
     // elementwise array compare == the NUL-joined string compare the driver
     // used (keys within a cuboid share arity; values are NUL-free).
-    val winners = candKeys.withColumnRenamed("inst", "inst")
-      .join(stats1, Seq("inst", "cid", "key"))
+    val winners = candStats
       .join(stats2, Seq("inst", "cid", "key"), "left")
       // n_normal = wn + 1 rounds first (riskloc.py:51-55)
       .withColumn("high", col("wa") / (col("wa") + (col("wn") + lit(1.0))))
@@ -289,7 +295,7 @@ object BatchRiskLoc {
       () => exploded1
         .groupBy(inst.as("inst"), col("cb.cid").as("cid"), col("cb.key").as("key"))
         .agg(Scores.pandasSum(col("ep")).as("ep"),
-          sum("ep_z").as("ep_z"), sum("partition").as("part_sum"))
+          (Seq(sum("ep_z").as("ep_z"), sum("partition").as("part_sum")) ++ riskAggCols): _*)
         .collect()))
     val epMass = wave1(0).map(r =>
       r.getString(0) -> (if (r.isNullAt(1)) 0.0 else r.getDouble(1))).toMap
@@ -309,9 +315,13 @@ object BatchRiskLoc {
     val statesNew: Map[String, PruneState] =
       if (usePrune) instances.iterator.map(i => i -> snapshot(i)).toMap else Map.empty
 
+    // rows: inst(0) cid(1) key(2) ep(3) ep_z(4) part_sum(5)
+    //       wa(6) wn(7) sreal(8) spred(9) w2(10) n_nz(11)
     val candL1 = epsA.toSeq
       .filter(r => r.getLong(5) > 0 && r.getDouble(3) > adjThreshold(r.getString(0)))
-      .map(r => (r.getString(0), r.getInt(1), r.getSeq[String](2), r.getDouble(3)))
+      .map(r => (r.getString(0), r.getInt(1), r.getSeq[String](2), r.getDouble(3),
+        r.getDouble(6), r.getDouble(7), r.getDouble(8), r.getDouble(9),
+        if (r.isNullAt(10)) None else Some(r.getDouble(10)), r.getLong(11)))
       .groupBy(r => (r._1, r._2)).toSeq.flatMap { case (_, rows) =>
         rows.sortBy(-_._4).take(opt.maxCandidatesPerCuboid)
       }
@@ -319,7 +329,7 @@ object BatchRiskLoc {
     def winners1Pass(): Map[String, Winner] =
       if (candL1.isEmpty) Map.empty
       else riskWinners(exploded1, instanceCol,
-        candL1.toDF("inst", "cid", "key", "ep"), opt)
+        candL1.toDF("inst", "cid", "key", "ep", "wa", "wn", "sreal", "spred", "w2", "n_nz"), opt)
         .values.toSeq.groupBy(_.instance)
         .map { case (i, ws) => i -> ws.sortBy(w => (-w.ep, w.cid)).head }
 
@@ -345,10 +355,11 @@ object BatchRiskLoc {
       val thresholdDf = broadcast(adjThreshold.toSeq.toDF("__ti", "__thr"))
       val candsDeep = exploded2
         .groupBy(inst.as("inst"), col("cb.cid").as("cid"), col("cb.key").as("key"))
-        .agg(Scores.pandasSum(col("ep")).as("ep"), sum("partition").as("part_sum"))
+        .agg(Scores.pandasSum(col("ep")).as("ep"),
+          (sum("partition").as("part_sum") +: riskAggCols): _*)
         .join(thresholdDf, col("inst") === col("__ti"))
         .filter(col("part_sum") > 0 && col("ep") > col("__thr"))
-        .select("inst", "cid", "key", "ep")
+        .select("inst", "cid", "key", "ep", "wa", "wn", "sreal", "spred", "w2", "n_nz")
         .withColumn("rn", row_number().over(
           Window.partitionBy("inst", "cid").orderBy(desc("ep"))))
         .filter(col("rn") <= opt.maxCandidatesPerCuboid)

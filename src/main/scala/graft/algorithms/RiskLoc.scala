@@ -156,27 +156,25 @@ object RiskLoc {
       .groupBy(col("rcid").as("cid"), col("rkey").as("key"))
       .agg(avg(abs(col("d"))).as("w1"))
 
-  /** Two batched risk passes for every candidate at once (one Spark
-    * action: pass 2 consumes pass 1 as a lazy broadcast inside the same
-    * DAG), then the driver-side winner scan (riskloc.py:120-159). */
-  private def riskWinners(exploded: DataFrame, candKeys: DataFrame,
+  /** Ripple pass + driver-side winner scan (riskloc.py:120-159). The
+    * selection-level sums arrive FUSED on `candStats` (columns cid, key,
+    * ep, wa, wn, sreal, spred, w2, n_nz — computed in the same
+    * aggregation that produced the candidates, so the multi-cuboid
+    * explode is read once for candidates+stats); only the ripple mean
+    * (pass 2, a lazy broadcast of the ratios inside the same DAG) still
+    * scans the exploded frame. One Spark action. */
+  private def riskWinners(exploded: DataFrame, candStats: DataFrame,
       opt: Options, cuboidOf: Int => Seq[String] = _ => Seq.empty): Map[Int, Winner] = {
-    // Pass 1: selection-level sums per candidate.
-    val stats1 = exploded
-      .join(broadcast(candKeys.select(col("cid").as("jcid"), col("key").as("jkey"))),
-        col("cb.cid") === col("jcid") && col("cb.key") === col("jkey"))
-      .groupBy(col("jcid").as("cid"), col("jkey").as("key"))
-      .agg(riskAggCols.head, riskAggCols.tail: _*)
-
-    val ratios = stats1.select(col("cid").as("rcid"), col("key").as("rkey"),
+    val ratios = candStats.select(col("cid").as("rcid"), col("key").as("rkey"),
       col("sreal").as("rsreal"), col("spred").as("rspred"))
     val stats2 = ripplePass(exploded, ratios)
 
-    val collected = candKeys
-      .join(stats1, Seq("cid", "key"))
+    val collected = candStats
       .join(stats2, Seq("cid", "key"), "left")
       .collect()
 
+    // columns: cid(0) key(1) ep(2) wa(3) wn(4) sreal(5) spred(6) w2(7)
+    //          n_nz(8) w1(9)
     val cands = collected.toSeq.map { r =>
       CandStats(r.getInt(0), r.getSeq[String](1).toSeq, r.getDouble(2),
         r.getDouble(3), r.getDouble(4),
@@ -313,9 +311,10 @@ object RiskLoc {
     val exploded2 = expandCuboids(df, deep, _ => prunedNew)
     val candsDeep = exploded2
       .groupBy(col("cb.cid").as("cid"), col("cb.key").as("key"))
-      .agg(graft.functions.Scores.pandasSum(col("ep")).as("ep"), sum("partition").as("part_sum"))
+      .agg(graft.functions.Scores.pandasSum(col("ep")).as("ep"),
+        (sum("partition").as("part_sum") +: riskAggCols): _*)
       .filter(col("part_sum") > 0 && col("ep") > adjEpThreshold)
-      .select("cid", "key", "ep")
+      .select("cid", "key", "ep", "wa", "wn", "sreal", "spred", "w2", "n_nz")
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("cid").orderBy(desc("ep"))))
       .filter(col("rn") <= opt.maxCandidatesPerCuboid)
