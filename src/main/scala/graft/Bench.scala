@@ -171,7 +171,25 @@ object Bench {
       .map { case (k, ts) => s"\"" + k + "\":" + f(ts) }.mkString("{", ",", "}")
     val total = results.map { case (_, ts) => median(ts) }.sum
     val totalMin = results.map { case (_, ts) => ts.min }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"median-of-$repeats","queries":${jmap(median)},"queries_min":${jmap(_.min)},"total_min":$totalMin,"calib_sec":$calib,"calib_before":$calibBefore,"calib_after":$calibAfter,"calib_ref":$CalibRef,"calib_ratio":$calibRatio,"calib_par_sec":$calibPar,"calib_par_worst":$calibParWorst,"calib_par_samples":${parSamples.mkString("[", ",", "]")},"calib_par_ref":$CalibParRef,"calib_par_ratio":$calibParRatio,"calib_par_med":$calibParMed,"calib_ok":$calibOk,"sf":"$sfDir"}""")
+    // Partial runs (BENCH_ONLY dev loops) must be self-identifying so a
+    // filtered-run JSON can never pass as full bench evidence (ADVICE r7).
+    val partial = only.isDefined
+    val partialFields = only match {
+      case Some(names) => s""","partial":true,"bench_only":"${names.mkString(",")}""""
+      case None => s""","partial":false"""
+    }
+    val common = s""""metric":"total","value":$total,"unit":"sec","method":"median-of-$repeats","query_count":${results.size}$partialFields,"queries":${jmap(median)},"total_min":$totalMin,"calib_ratio":$calibRatio,"calib_par_ratio":$calibParRatio,"calib_ok":$calibOk,"sf":"$sfDir""""
+    // Full detail (per-query minima, calibration samples) goes to a file —
+    // the r7 official artifact lost its numbers because the single giant
+    // stdout line got truncated in the driver's captured tail. Keep the
+    // stdout line to the contract essentials; point at the file for detail.
+    val outPath = sys.env.getOrElse("BENCH_RESULT_FILE",
+      if (partial) "bench_result_partial.json" else "bench_result.json")
+    val detail = s"""{$common,"queries_min":${jmap(_.min)},"calib_sec":$calib,"calib_before":$calibBefore,"calib_after":$calibAfter,"calib_ref":$CalibRef,"calib_par_sec":$calibPar,"calib_par_worst":$calibParWorst,"calib_par_samples":${parSamples.mkString("[", ",", "]")},"calib_par_ref":$CalibParRef,"calib_par_med":$calibParMed}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"bench result file write failed: $e") }
+    println(s"""{$common,"result_file":"$outPath"}""")
     spark.stop()
   }
 }

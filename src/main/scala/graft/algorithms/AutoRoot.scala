@@ -90,7 +90,7 @@ object AutoRoot {
     // (graft.core.Concurrency: caps simultaneous persisted counts/cands
     // frames); the driver-side merge applies their collected rows
     // sequentially in layer order below (same shape as BatchAutoRoot).
-    val layerResults = graft.core.Concurrency.awaitAll(
+    val layerResults = try graft.core.Concurrency.awaitAll(
       (1 to attributes.size).map { layer => () => {
       val cuboids = attributes.combinations(layer).toSeq
       // NOT persisted: the explode is a narrow projection of a cached
@@ -117,6 +117,9 @@ object AutoRoot {
       }.reduce(_ || _)
       val cands = counts.filter(candCond).persist(StorageLevel.MEMORY_AND_DISK)
 
+      // try/finally: a failing pass must not leave counts/cands cached for
+      // the rest of the session (ADVICE r7)
+      try {
       val rows: Array[Row] =
         if (cands.limit(1).count() == 0) Array.empty
         else {
@@ -156,9 +159,12 @@ object AutoRoot {
         cands.join(stats1, Seq("cid", "key")).join(stats2, Seq("cid", "key"))
           .collect()
         }
-      cands.unpersist(); counts.unpersist()
       (layer, cuboids, rows)
+      } finally { cands.unpersist(); counts.unpersist() }
       } })
+    catch { case e: Throwable =>
+      // failing layer pass: drop the session-wide cached frames too
+      withCluster.unpersist(); df.unpersist(); throw e }
 
     for ((layer, cuboids, rows) <- layerResults if rows.nonEmpty) {
         // driver: per cluster, per cuboid -> best-NPS split; across cuboids
@@ -175,7 +181,7 @@ object AutoRoot {
               .groupBy(_.getInt(0))
             for ((cid, rs) <- byCuboid.toSeq.sortBy(_._1)) {
               // groupby index order = key ascending; '>' keeps the first max
-              val ordered = rs.sortBy(_.getSeq[String](1).mkString("\u0000"))
+              val ordered = rs.sortBy(_.getSeq[String](1).mkString(graft.core.Canonical.NulSep))
               var bestNps = -1.0
               var bestRow: Row = null
               for (r <- ordered) {

@@ -111,7 +111,7 @@ object BatchAutoRoot {
     // concurrent pool (graft.core.Concurrency: caps simultaneous
     // persisted counts frames) and the driver-side merge applies their
     // results sequentially in layer order below.
-    val layerResults = graft.core.Concurrency.awaitAll(
+    val layerResults = try graft.core.Concurrency.awaitAll(
       (1 to attributes.size).map { layer => () => {
       val cuboids = attributes.combinations(layer).toSeq
       // NOT persisted: the explode is a narrow projection of a cached
@@ -126,6 +126,9 @@ object BatchAutoRoot {
       val counts = exploded
         .groupBy(inst.as("__i"), col("cb.cid").as("cid"), col("cb.key").as("key"))
         .agg(count(lit(1)).as("y")).persist(StorageLevel.MEMORY_AND_DISK)
+      // try/finally: a failing pass must not leave counts cached for the
+      // rest of the session (ADVICE r7)
+      try {
       val xs = exploded.filter(col("cluster").isNotNull)
         .groupBy(inst.as("__i"), col("cb.cid").as("cid"), col("cb.key").as("key"),
           col("cluster").as("k"))
@@ -194,9 +197,12 @@ object BatchAutoRoot {
           .map(r => (r.getString(0), r.getInt(1), r.getSeq[String](2)) ->
             (r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
         }
-      counts.unpersist()
       (layer, cuboids, candPairs, statRows)
+      } finally counts.unpersist()
       } })
+    catch { case e: Throwable =>
+      // failing layer pass: drop the session-wide cached frames too
+      expandBase.unpersist(); withCluster.unpersist(); df.unpersist(); throw e }
 
     // driver-side merge, sequential in layer order (earlier layer wins
     // avg-score ties via strict >)
@@ -210,7 +216,7 @@ object BatchAutoRoot {
           val (nTotal, tTermB) = totals(i)
           val byCuboid = rows.groupBy(_.getInt(1))
           for ((cid, rs) <- byCuboid.toSeq.sortBy(_._1)) {
-            val ordered = rs.sortBy(_.getSeq[String](2).mkString("\u0000"))
+            val ordered = rs.sortBy(_.getSeq[String](2).mkString(graft.core.Canonical.NulSep))
             var bestNps = -1.0
             var bestRow: Row = null
             for (r <- ordered) {

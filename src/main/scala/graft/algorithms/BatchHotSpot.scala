@@ -106,10 +106,10 @@ object BatchHotSpot {
           var elems = byInstCid.getOrElse((i, cid), Array.empty[org.apache.spark.sql.Row])
             .map(r => ElemStats(r.getSeq[String](2), r.getLong(3), r.getDouble(4),
               r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getDouble(8), r.getDouble(9)))
-            .sortBy(_.values.mkString("\u0000"))
+            .sortBy(_.values.mkString(graft.core.Canonical.NulSep))
           if (elems.length > opt.maxElementsPerCuboid)
             elems = elems.sortBy(-_.absDiff).take(opt.maxElementsPerCuboid)
-              .sortBy(_.values.mkString("\u0000"))
+              .sortBy(_.values.mkString(graft.core.Canonical.NulSep))
           if (usePruning && layer > 1)
             elems = HotSpot.hierarchicalPruning(elems, layer, cuboid, candidates(i).toSeq)
 

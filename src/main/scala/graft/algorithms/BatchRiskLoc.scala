@@ -395,24 +395,27 @@ object BatchRiskLoc {
       // so the only speculation cost is the explode/agg work for
       // instances that turn out to win at layer 1.
       val (exploded2, candsDeep) = buildDeepCands(instances)
-      val wave2 = graft.core.Concurrency.awaitAll[AnyRef](Seq(
-        () => winners1Pass().asInstanceOf[AnyRef],
-        () => { candsDeep.count(); null }))
-      recordLayer1(wave2(0).asInstanceOf[Map[String, Winner]])
-      val deepInstances = instances -- found.keySet
-      if (deepInstances.nonEmpty) {
-        ranDeep = true
-        deepStage(exploded2, candsDeep, deepInstances)
-      }
-      candsDeep.unpersist()
+      // try/finally: if winners1Pass or deepStage throws, the persisted
+      // frame must not stay cached for the rest of the session (ADVICE r7)
+      try {
+        val wave2 = graft.core.Concurrency.awaitAll[AnyRef](Seq(
+          () => winners1Pass().asInstanceOf[AnyRef],
+          () => { candsDeep.count(); null }))
+        recordLayer1(wave2(0).asInstanceOf[Map[String, Winner]])
+        val deepInstances = instances -- found.keySet
+        if (deepInstances.nonEmpty) {
+          ranDeep = true
+          deepStage(exploded2, candsDeep, deepInstances)
+        }
+      } finally candsDeep.unpersist()
     } else {
       recordLayer1(winners1Pass())
       val deepInstances = instances -- found.keySet
       if (deepInstances.nonEmpty) {
         ranDeep = true
         val (exploded2, candsDeep) = buildDeepCands(deepInstances)
-        deepStage(exploded2, candsDeep, deepInstances)
-        candsDeep.unpersist()
+        try deepStage(exploded2, candsDeep, deepInstances)
+        finally candsDeep.unpersist()
       }
     }
     (found.toMap, ranDeep)

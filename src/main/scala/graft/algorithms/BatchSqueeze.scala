@@ -219,7 +219,7 @@ object BatchSqueeze {
           val abn = all.filter(_._2 > 0)
           if (abn.isEmpty) None
           else {
-            val base = abn.sortBy(_._1.mkString("\u0000"))
+            val base = abn.sortBy(_._1.mkString(graft.core.Canonical.NulSep))
             val descent = base.map(e => e._2.toDouble / math.max(e._3.toDouble, 1e-4)).toArray
             val ordered = graft.kernels.NumpyArgsort.argsort(descent).reverse.map(base)
             val nPart = math.min(math.min(ordered.length, opt.maxNumElements), nDistinctIdx - 1)

@@ -247,10 +247,10 @@ object HotSpot {
         var elems = byCid.getOrElse(cid, Array.empty[Row])
           .map(r => ElemStats(r.getSeq[String](1), r.getLong(2), r.getDouble(3),
             r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getDouble(8)))
-          .sortBy(_.values.mkString("\u0000")) // deterministic MCTS child order
+          .sortBy(_.values.mkString(graft.core.Canonical.NulSep)) // deterministic MCTS child order
         if (elems.length > opt.maxElementsPerCuboid)
           elems = elems.sortBy(-_.absDiff).take(opt.maxElementsPerCuboid)
-            .sortBy(_.values.mkString("\u0000"))
+            .sortBy(_.values.mkString(graft.core.Canonical.NulSep))
         if (usePruning && layer > 1)
           elems = hierarchicalPruning(elems, layer, cuboid, candidates.toSeq)
 

@@ -193,7 +193,7 @@ object RiskLoc {
       cuboidOf: Int => Seq[String]): Map[Int, Winner] =
     cands.groupBy(_.cid).flatMap { case (cid, rows) =>
       opt.trace(s"Cuboid: ${cuboidOf(cid).mkString("[", ", ", "]")}")
-      val ordered = rows.sortBy(r => (-r.ep, r.key.mkString("\u0000")))
+      val ordered = rows.sortBy(r => (-r.ep, r.key.mkString(graft.core.Canonical.NulSep)))
       ordered.iterator.map { r =>
         // reference high_risk (riskloc.py:51-55): n_normal = wn + 1 is
         // rounded FIRST, then added to wa — (wa+wn)+1 rounds differently

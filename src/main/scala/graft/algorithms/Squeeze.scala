@@ -346,7 +346,7 @@ object Squeeze {
           // then descent = n_abn / max(n_all, 1e-4) is ranked by
           // np.argsort(...)[::-1] — NOT stable: the reversed tie
           // permutation decides which elements enter each partition prefix.
-          val base = abn.sortBy(_._1.mkString("\u0000"))
+          val base = abn.sortBy(_._1.mkString(graft.core.Canonical.NulSep))
           val descent = base.map(e => e._2.toDouble / math.max(e._3.toDouble, 1e-4)).toArray
           val ordered = graft.kernels.NumpyArgsort.argsort(descent).reverse.map(base)
           if (sys.env.get("SQ_DETAIL").contains(cuboids(cid).mkString(","))) {

@@ -36,7 +36,19 @@ object Concurrency {
             try Right(t()) catch { case e: Throwable => Left(e) }
         })
       }
-      val settled = futures.map(_.get())
+      val settled =
+        try futures.map(_.get())
+        catch {
+          case e: InterruptedException =>
+            // Caller-thread interruption: plain shutdown() would let the
+            // already-running daemon tasks keep executing Spark jobs after
+            // the caller unwinds — exactly the detached-zombie scenario
+            // this class exists to prevent. Cancel everything (interrupting
+            // running tasks) before propagating.
+            futures.foreach(_.cancel(true))
+            pool.shutdownNow()
+            throw e
+        }
       settled.collectFirst { case Left(e) => throw e }
       settled.map(_.toOption.get)
     } finally pool.shutdown()

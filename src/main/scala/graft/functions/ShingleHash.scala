@@ -76,7 +76,13 @@ object ShingleHash {
         }
         k += 1
       }
-      if (total > buf.length) buf = new Array[Byte](Integer.highestOneBit(total) * 2)
+      if (total > buf.length) {
+        // next power of two, but highestOneBit(total)*2 overflows negative
+        // once a window's joined bytes reach 1 GiB — fall back to the exact
+        // size there instead of throwing NegativeArraySizeException
+        val doubled = Integer.highestOneBit(total) * 2
+        buf = new Array[Byte](if (doubled > total) doubled else total)
+      }
       var off = 0
       parts = 0
       k = 0

@@ -170,7 +170,41 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
-    GateQuery.rowsOnly("q59_fingerprint_rolling") { (s, dir) =>
+    GateQuery("q59_fingerprint_rolling",
+      // DuckDB replication of the rolling hash: per-codepoint fold of
+      // acc*31+cp with Java 64-bit WRAPPING before the mod 2^61-1 (acc can
+      // reach 2^61-2, so acc*31 overflows a signed 64-bit long routinely).
+      // HUGEINT does the exact math; the two nested CASEs re-create the
+      // two's-complement wrap and Java's dividend-sign % + negative fixup.
+      // list_filter drops the '' element DuckDB yields for empty strings
+      // (unicode('') = -1 would poison the fold; Spark hashes '' to 0).
+      """WITH cleaned AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |folded AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(0::HUGEINT,
+        |        list_transform(
+        |          list_filter(string_split(t, ''), c -> c <> ''),
+        |          c -> unicode(c)::HUGEINT)),
+        |      (acc, cp) -> CASE
+        |        WHEN ((acc * 31 + cp) % 18446744073709551616::HUGEINT)
+        |             >= 9223372036854775808::HUGEINT
+        |        THEN CASE
+        |          WHEN (((acc * 31 + cp) % 18446744073709551616::HUGEINT)
+        |                - 18446744073709551616::HUGEINT) % 2305843009213693951::HUGEINT < 0
+        |          THEN ((((acc * 31 + cp) % 18446744073709551616::HUGEINT)
+        |                - 18446744073709551616::HUGEINT) % 2305843009213693951::HUGEINT)
+        |               + 2305843009213693951::HUGEINT
+        |          ELSE (((acc * 31 + cp) % 18446744073709551616::HUGEINT)
+        |                - 18446744073709551616::HUGEINT) % 2305843009213693951::HUGEINT
+        |          END
+        |        ELSE ((acc * 31 + cp) % 18446744073709551616::HUGEINT)
+        |             % 2305843009213693951::HUGEINT
+        |        END) AS fp
+        |  FROM cleaned)
+        |SELECT doc_id, fp::BIGINT AS fp FROM folded ORDER BY doc_id""".stripMargin) { (s, dir) =>
       documents(s, dir).select(col("doc_id"),
         TextAnalysis.rollingFingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
@@ -215,7 +249,40 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
-    GateQuery.rowsOnly("q62_ngram_langid") { (s, dir) =>
+    GateQuery("q62_ngram_langid",
+      // DuckDB replication of train-then-predict: top-20 trigrams per lang
+      // by (count desc, gram asc) over the 1000 lowest doc_ids (multiset
+      // counts — CharNgramsExpr emits every window, and a string shorter
+      // than n yields ONE gram of the whole string, hence greatest(..,1));
+      // prediction scores profile-gram PRESENCE in the cleaned text and
+      // breaks score ties toward the lexicographically greatest language
+      // (array_max on (score, lang) structs = ORDER BY score DESC, lang DESC).
+      """WITH cleaned AS (
+        |  SELECT doc_id, lang, regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |train AS (
+        |  SELECT lang, t FROM cleaned ORDER BY doc_id LIMIT 1000),
+        |grams AS (
+        |  SELECT lang, substring(t, i, 3) AS ng
+        |  FROM train, unnest(generate_series(1, greatest(length(t) - 2, 1))) AS u(i)),
+        |counted AS (
+        |  SELECT lang, ng, count(*) AS cnt FROM grams GROUP BY lang, ng),
+        |profiles AS (
+        |  SELECT lang, ng FROM (
+        |    SELECT lang, ng,
+        |      row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, ng ASC) AS rk
+        |    FROM counted) WHERE rk <= 20),
+        |scores AS (
+        |  SELECT c.doc_id, p.lang,
+        |    SUM(CASE WHEN position(p.ng IN c.t) > 0 THEN 1 ELSE 0 END) AS score
+        |  FROM cleaned c CROSS JOIN profiles p
+        |  GROUP BY c.doc_id, p.lang),
+        |pred AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rk
+        |  FROM scores)
+        |SELECT doc_id, lang AS pred_lang FROM pred WHERE rk = 1
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = documents(s, dir)
       // profiles are distribution-level statistics: train on a bounded
       // sample (deterministic: lowest doc_ids), predict over everything

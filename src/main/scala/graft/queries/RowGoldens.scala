@@ -12,7 +12,7 @@ import java.security.MessageDigest
   *
   * Digest canonicalization: schema line (name:type per column) plus every
   * row rendered cell-by-cell (exact `Double.toString`, arrays bracketed,
-  * null as \u0000), cells joined by \u0001, rows sorted, md5 over the
+  * null as NUL U+0000), cells joined by SOH U+0001, rows sorted, md5 over the
   * newline-joined block. Gate queries already end in a deterministic
   * ORDER BY and floor/round their floating outputs (GateQuery doc), so
   * the digest is stable run-to-run; the sort here additionally makes it
@@ -24,16 +24,23 @@ object RowGoldens {
     (RelationalQueries.defs ++ ScoreQueries.defs ++ AlgorithmQueries.defs ++
       PipelineQueries.defs).filter(_.oracle.isEmpty)
 
+  // Control-char sentinels built from numeric char codes so the source file
+  // carries no Java/Scala unicode-escape forms (a pre-lexer that expands
+  // them everywhere, comments included, would otherwise see raw control
+  // bytes and flag the file binary).
+  private val NullCell: String = 0.toChar.toString // NUL U+0000
+  private val CellSep: String = 1.toChar.toString  // SOH U+0001
+
   def digest(df: DataFrame): (Long, String) = {
-    val header = df.schema.map(f => f.name + ":" + f.dataType.simpleString).mkString("\u0001")
+    val header = df.schema.map(f => f.name + ":" + f.dataType.simpleString).mkString(CellSep)
     val rows = df.collect().map { r =>
       (0 until r.length).map { i =>
         r.get(i) match {
-          case null => "\u0000"
+          case null => NullCell
           case a: scala.collection.Seq[_] => a.map(String.valueOf).mkString("[", ",", "]")
           case x => String.valueOf(x)
         }
-      }.mkString("\u0001")
+      }.mkString(CellSep)
     }.sorted
     val md = MessageDigest.getInstance("MD5")
     md.update(header.getBytes("UTF-8"))
