@@ -22,6 +22,16 @@ import org.apache.spark.storage.StorageLevel
   * including the early exit: an instance whose candidate reaches `pt`
   * stops consuming randomness and drops out of deeper layers
   * (hotspot.py:218-224), pruned here via a left-semi join.
+  *
+  * DISPATCH (measured, round 8): this whole-corpus DAG wins when
+  * instances are small and many — scheduling-dominated corpora like RS
+  * (4-9x over sequential, RS_SWEEP_BATCH.md) — and LOSES to the
+  * concurrent per-instance sequential path once rows/instance outgrow
+  * Runner.BatchCrossoverRows, because every corpus-wide pass carries the
+  * big instances' rows (H_SCALE.md: sequential wins 1.7-6x at 24M
+  * rows/instance). Runner's default `--mode auto` picks per corpus from
+  * the CROSSOVER.md-measured threshold; batch is NOT the universal scale
+  * mode, it is the many-small-instances mode.
   */
 object BatchHotSpot {
 

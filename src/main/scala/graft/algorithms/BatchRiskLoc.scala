@@ -30,6 +30,16 @@ import org.apache.spark.storage.StorageLevel
   * BatchRiskLocSpec on the generated corpus). Prune visibility follows
   * the reference: layer-1 cuboids see the iteration-start state, deeper
   * cuboids see this iteration's additions (riskloc.py:89-117).
+  *
+  * DISPATCH (measured, round 8): this whole-corpus DAG wins when
+  * instances are small and many — scheduling-dominated corpora like RS
+  * (4-9x over sequential, RS_SWEEP_BATCH.md) — and LOSES to the
+  * concurrent per-instance sequential path once rows/instance outgrow
+  * Runner.BatchCrossoverRows, because every corpus-wide pass carries the
+  * big instances' rows (H_SCALE.md: sequential wins 1.7-6x at 24M
+  * rows/instance). Runner's default `--mode auto` picks per corpus from
+  * the CROSSOVER.md-measured threshold; batch is NOT the universal scale
+  * mode, it is the many-small-instances mode.
   */
 object BatchRiskLoc {
 
@@ -266,7 +276,7 @@ object BatchRiskLoc {
   private def searchAll(df: DataFrame, instanceCol: String, attributes: Seq[String],
       adjThreshold: Map[String, Double],
       pruned: collection.mutable.Map[String, collection.mutable.Map[String, collection.mutable.ArrayBuffer[String]]],
-      speculateDeep: Boolean,
+      speculateDeep: Boolean, deepCapLayer: Int,
       opt: RiskLoc.Options): (Map[String, RootCause], Boolean) = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -348,10 +358,24 @@ object BatchRiskLoc {
     val deepCuboids = deep.map(_._1)
     def layerOf(cid: Int): Int = deepCuboids(cid - nAttrs).size
 
-    def buildDeepCands(forInstances: Set[String]): (DataFrame, DataFrame) = {
+    // Layer-capped deep pass (VERDICT r7 #7): winner selection takes the
+    // SHALLOWEST deep layer with any winner, so emitting every row for
+    // every deep cuboid (57 at 6 attributes) wastes most of the expand
+    // whenever causes sit near the top — the common case (remove-and-
+    // repeat causes cluster at one depth, tracked by `deepCapLayer` = last
+    // found deep layer + 1). The near pass covers layers 2..cap; only
+    // instances it leaves unfound fall back to the far layers — exactly
+    // equivalent because a near winner shadows any far winner (deeper
+    // layer) and a near miss means layers <= cap contribute nothing.
+    val cap = math.min(math.max(2, deepCapLayer), nAttrs)
+    val deepNear = deep.filter(_._1.size <= cap)
+    val deepFar = deep.filter(_._1.size > cap)
+
+    def buildDeepCands(forInstances: Set[String],
+        cuboidSubset: Seq[(Seq[String], Int)]): (DataFrame, DataFrame) = {
       val dfDeep = if (forInstances == instances0) df
                    else df.filter(inst.isin(forInstances.toSeq: _*))
-      val exploded2 = expand(dfDeep, instanceCol, attributes, deep, statesNew)
+      val exploded2 = expand(dfDeep, instanceCol, attributes, cuboidSubset, statesNew)
       val thresholdDf = broadcast(adjThreshold.toSeq.toDF("__ti", "__thr"))
       val candsDeep = exploded2
         .groupBy(inst.as("inst"), col("cb.cid").as("cid"), col("cb.key").as("key"))
@@ -387,6 +411,16 @@ object BatchRiskLoc {
     }
 
     var ranDeep = false
+    // far-layer fallback: only instances the near pass left unfound ever
+    // pay for layers > cap
+    def fallbackFar(): Unit = {
+      val still = instances -- found.keySet
+      if (still.nonEmpty && deepFar.nonEmpty) {
+        val (e3, c3) = buildDeepCands(still, deepFar)
+        try deepStage(e3, c3, still)
+        finally c3.unpersist()
+      }
+    }
     if (speculateDeep) {
       // Materialize the deep candidate frame concurrently with the
       // layer-1 risk pass. Per-instance deep candidates are identical
@@ -394,7 +428,7 @@ object BatchRiskLoc {
       // aggregation, threshold join and top-n window is instance-keyed),
       // so the only speculation cost is the explode/agg work for
       // instances that turn out to win at layer 1.
-      val (exploded2, candsDeep) = buildDeepCands(instances)
+      val (exploded2, candsDeep) = buildDeepCands(instances, deepNear)
       // try/finally: if winners1Pass or deepStage throws, the persisted
       // frame must not stay cached for the rest of the session (ADVICE r7)
       try {
@@ -408,14 +442,16 @@ object BatchRiskLoc {
           deepStage(exploded2, candsDeep, deepInstances)
         }
       } finally candsDeep.unpersist()
+      fallbackFar()
     } else {
       recordLayer1(winners1Pass())
       val deepInstances = instances -- found.keySet
       if (deepInstances.nonEmpty) {
         ranDeep = true
-        val (exploded2, candsDeep) = buildDeepCands(deepInstances)
+        val (exploded2, candsDeep) = buildDeepCands(deepInstances, deepNear)
         try deepStage(exploded2, candsDeep, deepInstances)
         finally candsDeep.unpersist()
+        fallbackFar()
       }
     }
     (found.toMap, ranDeep)
@@ -440,6 +476,10 @@ object BatchRiskLoc {
     // Starts false — a corpus whose causes all sit at layer 1 never pays a
     // speculative deep explode (the H-scale concern: 57 cuboids x 24M rows).
     var speculateDeep = false
+    // Deep-layer CAP hint (VERDICT r7 #7): the deep pass first covers only
+    // layers 2..cap (last found deep layer + 1); deeper layers run as a
+    // fallback for instances the near pass left unfound. Starts at 2.
+    var deepCapLayer = 2
 
     while (active.nonEmpty) {
       // searchAll runs the per-instance continuation check (anomalous EP
@@ -448,8 +488,11 @@ object BatchRiskLoc {
       // cause this iteration.
       val thresholds = adjThreshold0.filter { case (i, _) => active.contains(i) }
       val (found, ranDeep) = searchAll(df.filter(inst.isin(active.toSeq: _*)), instanceCol,
-        attributes, thresholds, pruned, speculateDeep, opt)
+        attributes, thresholds, pruned, speculateDeep, deepCapLayer, opt)
       speculateDeep = ranDeep
+      val deepFoundLayers = found.values.map(_.layer).filter(_ >= 2)
+      if (deepFoundLayers.nonEmpty)
+        deepCapLayer = math.min(attributes.size, deepFoundLayers.max + 1)
       active = found.keySet
       if (found.nonEmpty) {
         found.foreach { case (i, rc) =>

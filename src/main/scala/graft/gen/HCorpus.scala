@@ -74,22 +74,32 @@ object HCorpus {
       Seq(col("real"), col("predict")): _*)
   }
 
-  /** N instances unioned under instance_id, each with its own anomaly
-    * (rotating through layer-1/2/3 elements so batch iterations differ
-    * per instance — the realistic whole-corpus input). */
+  /** Instance i's injected anomaly (rotating through layer-1/2/3 elements
+    * so batch iterations differ per instance — the realistic whole-corpus
+    * input). */
+  def anomalyFor(i: Int, dims: Seq[(String, Int)] = HDims): Anomaly =
+    (i % 3) match {
+      case 0 => Anomaly(Seq(dims(0)._1 -> s"${dims(0)._1}${i % dims(0)._2 + 1}"), 0.8)
+      case 1 => Anomaly(Seq(
+        dims(0)._1 -> s"${dims(0)._1}${i % dims(0)._2 + 1}",
+        dims(1)._1 -> s"${dims(1)._1}${i % dims(1)._2 + 1}"), 0.85)
+      case _ => Anomaly(Seq(
+        dims(1)._1 -> s"${dims(1)._1}${i % dims(1)._2 + 1}",
+        dims(3)._1 -> s"${dims(3)._1}${i % dims(3)._2 + 1}"), 0.9)
+    }
+
+  /** N instances unioned under instance_id, each with its own anomaly. */
   def corpus(spark: SparkSession, numInstances: Int,
-      dims: Seq[(String, Int)] = HDims, seed: Long = 7L): DataFrame = {
+      dims: Seq[(String, Int)] = HDims, seed: Long = 7L): DataFrame =
     (0 until numInstances).map { i =>
-      val anomaly = (i % 3) match {
-        case 0 => Anomaly(Seq(dims(0)._1 -> s"${dims(0)._1}${i % dims(0)._2 + 1}"), 0.8)
-        case 1 => Anomaly(Seq(
-          dims(0)._1 -> s"${dims(0)._1}${i % dims(0)._2 + 1}",
-          dims(1)._1 -> s"${dims(1)._1}${i % dims(1)._2 + 1}"), 0.85)
-        case _ => Anomaly(Seq(
-          dims(1)._1 -> s"${dims(1)._1}${i % dims(1)._2 + 1}",
-          dims(3)._1 -> s"${dims(3)._1}${i % dims(3)._2 + 1}"), 0.9)
-      }
-      instance(spark, f"h$i%03d", dims, Seq(anomaly), seed = seed + i)
+      instance(spark, f"h$i%03d", dims, Seq(anomalyFor(i, dims)), seed = seed + i)
     }.reduce(_ unionByName _)
-  }
+
+  /** Ground-truth labels for [[corpus]]'s injected anomalies, in the
+    * evaluation's canonical `attr=value&attr=value` element form. */
+  def labels(numInstances: Int, dims: Seq[(String, Int)] = HDims): Map[String, String] =
+    (0 until numInstances).map { i =>
+      f"h$i%03d" -> anomalyFor(i, dims).element
+        .map { case (k, v) => s"$k=$v" }.sorted.mkString("&")
+    }.toMap
 }

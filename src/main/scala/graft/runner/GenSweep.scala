@@ -84,16 +84,24 @@ object GenSweep {
     var allOk = true
     for (algo <- algos) {
       val t0 = System.nanoTime()
+      // per-file runs are independent (hotspot reseeds its MT19937 replay
+      // per file) — submit them concurrently like Runner.runAll; at the
+      // reference S dims (48k rows/file) a sequential 200-file scan would
+      // serialize hours of per-file driver coordination
+      val perFile = graft.core.Concurrency.awaitAll(
+        files.map { file => () =>
+          val g = golden((algo, file))
+          val preds = Labels.canonicalPredictions(
+            runAlgo(spark, corpusDir, algo, file)).sorted
+          val s = Evaluation.score(preds, g.label)
+          val f1 = if (2 * s.tp + s.fp + s.fn == 0) 0.0
+            else 2.0 * s.tp / (2 * s.tp + s.fp + s.fn)
+          (file, preds, g, f1)
+        }, maxConcurrent = 8)
       var matches = 0
       var engF1 = 0.0
       var refF1 = 0.0
-      for (file <- files) {
-        val g = golden((algo, file))
-        val preds = Labels.canonicalPredictions(
-          runAlgo(spark, corpusDir, algo, file)).sorted
-        val s = Evaluation.score(preds, g.label)
-        val f1 = if (2 * s.tp + s.fp + s.fn == 0) 0.0
-          else 2.0 * s.tp / (2 * s.tp + s.fp + s.fn)
+      perFile.foreach { case (file, preds, g, f1) =>
         engF1 += f1
         refF1 += g.f1
         if (preds == g.preds.sorted) matches += 1

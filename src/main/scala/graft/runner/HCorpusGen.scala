@@ -18,6 +18,12 @@ object HCorpusGen {
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
     HCorpus.corpus(spark, numInstances, dims).write.mode("overwrite").parquet(outDir)
+    // ground-truth sidecar for Runner --corpus evaluation ("_"-prefixed so
+    // parquet directory listings skip it, like _SUCCESS)
+    val labels = HCorpus.labels(numInstances, dims).toSeq.sorted
+      .map { case (id, l) => s"$id\t$l" }.mkString("", "\n", "\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outDir, "_labels.tsv"), labels.getBytes("UTF-8"))
     println(f"wrote $outDir in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }

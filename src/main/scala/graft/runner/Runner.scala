@@ -16,13 +16,21 @@ import scala.concurrent.{Await, ExecutionContext, Future}
   * ground truth, and write per-instance + per-(dataset, folder) summary
   * CSVs.
   *
-  * Parallelism: the reference forks 10 OS processes; here instances are
-  * submitted concurrently against one SparkSession (FAIR scheduling) —
-  * each instance's jobs interleave across the cluster, which is the shape
-  * that scales past one machine.
+  * Execution modes (`--mode auto|batch|sequential`, default auto):
+  *  - `sequential`: one driver-coordinated run per instance, instances
+  *    submitted concurrently against one SparkSession (the reference
+  *    forks 10 OS processes; concurrent job submission is the shape that
+  *    scales past one machine).
+  *  - `batch`: every instance becomes one key of a single instance-keyed
+  *    frame and the corpus runs as one Batch* DAG — a fixed number of
+  *    corpus-wide aggregation passes per layer/round.
+  *  - `auto`: dispatch by measured crossover — see [[chooseMode]].
   *
   * Usage: Runner <algorithm> --run-path <dir> [--data-root data]
-  *   [--n-threads 10] [--derived true|false] [--out results] [--batch]
+  *   [--n-threads 10] [--derived true|false] [--out results]
+  *   [--mode auto|batch|sequential] [--batch]
+  *   [--corpus <parquetDir>]   (instance_id-keyed parquet + _labels.tsv
+  *                              sidecar instead of per-instance CSVs)
   * Algorithms: riskloc | adtributor | rev_rec_adtributor | autoroot |
   *   squeeze | hotspot | robustspot
   */
@@ -31,42 +39,74 @@ object Runner {
   final case class InstanceResult(dataset: String, folder: String, file: String,
       f1: Double, tp: Int, fp: Int, fn: Int, seconds: Double)
 
-  def runInstance(spark: SparkSession, dataRoot: String,
-      ref: InstanceSource.InstanceRef, algorithm: String,
-      derivedFlag: Option[Boolean]): InstanceResult =
-    runInstance(spark, dataRoot, ref, algorithm, derivedFlag, Map.empty)
+  /** Rows-per-instance above which the sequential path beats the batch
+    * DAGs, measured on the round-8 crossover sweep (CROSSOVER.md: H-shaped
+    * corpora, both modes timed exactly as this runner executes them, with
+    * prior endpoints RS_SWEEP_BATCH.md — batch wins 4-9x at 0.1-11k
+    * rows/instance — and H_SCALE.md — sequential wins 1.7-6x at 24M).
+    * The mechanism: batch amortizes driver round-trips across instances
+    * but pays the multi-cuboid Expand over every instance's rows in one
+    * frame; sequential pays per-instance round-trips but its per-pass
+    * frames stay instance-sized. Rows/instance is the dominant variable;
+    * instance count mostly rescales both sides equally (the sequential
+    * path runs instances concurrently). */
+  val BatchCrossoverRows: Long = 400000L
 
-  /** `opts`: the reference CLI's per-algorithm flags
-    * (utils/argument_parser.py:18-69) by their kebab-case names, e.g.
-    * "risk-threshold" -> "0.4", "teep" -> "0.05", "debug" -> "true". */
-  def runInstance(spark: SparkSession, dataRoot: String,
-      ref: InstanceSource.InstanceRef, algorithm: String,
-      derivedFlag: Option[Boolean], opts: Map[String, String]): InstanceResult = {
+  /** Auto-dispatch rule (see [[BatchCrossoverRows]]). Uses the LARGEST
+    * instance, not the average: the batch DAG's Expand pain is driven by
+    * the big instances riding along in the unioned frame. */
+  def chooseMode(maxRowsPerInstance: Long, nInstances: Int): String =
+    if (nInstances <= 1 || maxRowsPerInstance >= BatchCrossoverRows) "sequential"
+    else "batch"
+
+  /** Load one instance's snapshot frame + ground-truth label. */
+  def loadInstance(spark: SparkSession, dataRoot: String,
+      ref: InstanceSource.InstanceRef,
+      derivedFlag: Option[Boolean]): (DataFrame, String, Boolean) = {
     val rsData = ref.dataset == "RS"
     val derived = derivedFlag.getOrElse(ref.dataset == "D" || rsData)
     val dir = ref.dir(dataRoot)
+    if (rsData) {
+      val anomaly = RsLabels.labelFor(dir, ref.file)
+      val raw = RsSource.readRaw(spark, s"$dir/${ref.file}.csv")
+      (RsSource.snapshot(raw, anomaly.timestamp), anomaly.label, derived)
+    } else if (derived)
+      (InstanceSource.readDerived(spark, dir, ref.file),
+        InstanceSource.injectionLabel(dir, ref.file), derived)
+    else
+      (InstanceSource.readFundamental(spark, dir, ref.file),
+        InstanceSource.injectionLabel(dir, ref.file), derived)
+  }
 
-    val (df, label): (DataFrame, String) =
-      if (rsData) {
-        val anomaly = RsLabels.labelFor(dir, ref.file)
-        val raw = RsSource.readRaw(spark, s"$dir/${ref.file}.csv")
-        (RsSource.snapshot(raw, anomaly.timestamp), anomaly.label)
-      } else if (derived)
-        (InstanceSource.readDerived(spark, dir, ref.file),
-          InstanceSource.injectionLabel(dir, ref.file))
-      else
-        (InstanceSource.readFundamental(spark, dir, ref.file),
-          InstanceSource.injectionLabel(dir, ref.file))
+  /** On-disk bytes of an instance's source file(s) — the cheap proxy used
+    * to pick the largest instance for the auto-dispatch row count. */
+  private def instanceBytes(dataRoot: String,
+      ref: InstanceSource.InstanceRef): Long = {
+    val dir = ref.dir(dataRoot)
+    Seq(s"$dir/${ref.file}.csv", s"$dir/${ref.file}.a.csv", s"$dir/${ref.file}.b.csv")
+      .map(p => new java.io.File(p)).filter(_.isFile).map(_.length).sum
+  }
 
-    val attributes = Snapshots.attributes(df)
+  /** Auto-dispatch estimate: snapshot row count of the largest instance
+    * (largest by on-disk bytes), one count job. */
+  def estimateMaxRowsPerInstance(spark: SparkSession, dataRoot: String,
+      refs: Seq[InstanceSource.InstanceRef],
+      derivedFlag: Option[Boolean]): Long = {
+    val biggest = refs.maxBy(instanceBytes(dataRoot, _))
+    loadInstance(spark, dataRoot, biggest, derivedFlag)._1.count()
+  }
+
+  /** One algorithm over one instance snapshot → canonical predictions.
+    * `opts`: the reference CLI's per-algorithm flags
+    * (utils/argument_parser.py:18-69) by their kebab-case names, e.g.
+    * "risk-threshold" -> "0.4", "teep" -> "0.05", "debug" -> "true". */
+  def runAlgorithm(df: DataFrame, attributes: Seq[String], algorithm: String,
+      derived: Boolean, opts: Map[String, String],
+      trace: String => Unit = _ => ()): Seq[String] = {
     def d(key: String, dflt: Double) = opts.get(key).map(_.toDouble).getOrElse(dflt)
     def i(key: String, dflt: Int) = opts.get(key).map(_.toInt).getOrElse(dflt)
     def b(key: String, dflt: Boolean) = opts.get(key).map(_.toBoolean).getOrElse(dflt)
-    val trace: String => Unit =
-      if (b("debug", dflt = false)) line => Console.err.println(s"[${ref.file}] $line")
-      else _ => ()
-    val t0 = System.nanoTime()
-    val predictions: Seq[String] = algorithm match {
+    algorithm match {
       case "riskloc" =>
         RiskLoc.predictions(RiskLoc.run(df, attributes, RiskLoc.Options(
           riskThreshold = d("risk-threshold", 0.5),
@@ -102,6 +142,78 @@ object Runner {
           derived = derived, trace = trace)))
       case other => throw new IllegalArgumentException(s"unknown algorithm: $other")
     }
+  }
+
+  /** One whole-corpus Batch* DAG over an instance-keyed frame →
+    * per-instance canonical predictions. */
+  def runBatchAlgorithm(union: DataFrame, attrs: Seq[String], algorithm: String,
+      derived: Boolean, opts: Map[String, String]): Map[String, Seq[String]] = {
+    def d(key: String, dflt: Double) = opts.get(key).map(_.toDouble).getOrElse(dflt)
+    def i(key: String, dflt: Int) = opts.get(key).map(_.toInt).getOrElse(dflt)
+    def b(key: String, dflt: Boolean) = opts.get(key).map(_.toBoolean).getOrElse(dflt)
+    algorithm match {
+      case "riskloc" =>
+        BatchRiskLoc.run(union, "instance_id", attrs, RiskLoc.Options(
+          riskThreshold = d("risk-threshold", 0.5),
+          pepThreshold = d("pep-threshold", 0.02),
+          nRemove = i("n-remove", 5),
+          removeRelative = b("remove-relative", dflt = false),
+          pruneElements = b("prune-elements", dflt = true),
+          derived = derived))
+          .view.mapValues(RiskLoc.predictions).toMap
+      case "adtributor" =>
+        val rows = BatchAdtributor.run(union, "instance_id", attrs,
+          Adtributor.Options(tep = d("tep", 0.1), teep = d("teep", 0.1),
+            k = i("k", 3), derived = derived)).collect()
+        rows.groupBy(r => r.getString(r.fieldIndex("instance_id")))
+          .view.mapValues { rs =>
+            graft.model.Labels.canonicalPredictions(
+              rs.sortBy(_.getInt(rs.head.fieldIndex("rank"))).toSeq.flatMap { r =>
+                val dim = r.getString(r.fieldIndex("dimension"))
+                r.getSeq[String](r.fieldIndex("elements")).map(e => s"$dim=$e")
+              })
+          }.toMap
+      case "autoroot" =>
+        BatchAutoRoot.run(union, "instance_id", attrs,
+            AutoRoot.Options(deltaThreshold = d("delta-threshold", 0.25)))
+          .view.mapValues(AutoRoot.predictions).toMap
+      case "squeeze" =>
+        BatchSqueeze.run(union, "instance_id", attrs, Squeeze.Options(
+          psUpperBound = d("ps-upper-bound", 0.9),
+          maxNumElements = i("max-num-elements-single-cluster", 12),
+          derived = derived))
+      case "hotspot" =>
+        BatchHotSpot.predictions(BatchHotSpot.run(union, "instance_id", attrs,
+          HotSpot.Options(pt = d("pt", 0.8), m = i("m", 200),
+            scoring = opts.getOrElse("scoring", "gps"))))
+      case "robustspot" =>
+        BatchRobustSpot.predictions(BatchRobustSpot.run(union, "instance_id", attrs,
+          RobustSpot.Options(k = i("k", 3),
+            lambdaAmplification = i("lambda-amplification", 100),
+            caThreshold = d("contribution-ability-threshold", 0.0),
+            confidenceThreshold = d("confidence-threshold", 0.8),
+            derived = derived)))
+      case other => throw new IllegalArgumentException(
+        s"algorithm has no batch variant: $other")
+    }
+  }
+
+  def runInstance(spark: SparkSession, dataRoot: String,
+      ref: InstanceSource.InstanceRef, algorithm: String,
+      derivedFlag: Option[Boolean]): InstanceResult =
+    runInstance(spark, dataRoot, ref, algorithm, derivedFlag, Map.empty)
+
+  def runInstance(spark: SparkSession, dataRoot: String,
+      ref: InstanceSource.InstanceRef, algorithm: String,
+      derivedFlag: Option[Boolean], opts: Map[String, String]): InstanceResult = {
+    val (df, label, derived) = loadInstance(spark, dataRoot, ref, derivedFlag)
+    val attributes = Snapshots.attributes(df)
+    val trace: String => Unit =
+      if (opts.get("debug").exists(_.toBoolean))
+        line => Console.err.println(s"[${ref.file}] $line")
+      else _ => ()
+    val t0 = System.nanoTime()
+    val predictions = runAlgorithm(df, attributes, algorithm, derived, opts, trace)
     val seconds = (System.nanoTime() - t0) / 1e9
 
     val s = Evaluation.score(predictions, label)
@@ -136,40 +248,27 @@ object Runner {
     } finally pool.shutdown()
   }
 
-  /** Whole-corpus batch mode (`--batch`): instead of one driver-coordinated
-    * run per instance, every instance becomes one key of a single
-    * instance-keyed frame and the corpus runs as one Batch* DAG per
-    * (dataset, folder, attribute-sequence) group — a fixed number of
-    * corpus-wide aggregation passes per layer/round, the execution shape
-    * for 1000-file corpora on a real cluster. Predictions per instance are
-    * pinned equal to the sequential path by the Batch*Specs.
+  /** Whole-corpus batch mode: instead of one driver-coordinated run per
+    * instance, every instance becomes one key of a single instance-keyed
+    * frame and the corpus runs as one Batch* DAG per (dataset, folder,
+    * attribute-sequence) group — a fixed number of corpus-wide aggregation
+    * passes per layer/round. This is the winning execution shape for
+    * MANY SMALL instances (RS_SWEEP_BATCH.md: 4-9x over sequential at
+    * 0.1-11k rows/instance); above [[BatchCrossoverRows]] rows/instance
+    * the concurrent sequential path wins instead (H_SCALE.md: 1.7-6x at
+    * 24M rows/instance) — `--mode auto` picks per corpus. Predictions per
+    * instance are pinned equal to the sequential path by the Batch*Specs.
     * rev_rec_adtributor has no batched variant (its recursion re-derives
     * per-instance sub-snapshots) — it falls back to runAll. */
   def runBatch(spark: SparkSession, dataRoot: String, refs: Seq[InstanceSource.InstanceRef],
       algorithm: String, derivedFlag: Option[Boolean],
       opts: Map[String, String] = Map.empty): Seq[InstanceResult] = {
     import org.apache.spark.sql.functions.lit
-    def d(key: String, dflt: Double) = opts.get(key).map(_.toDouble).getOrElse(dflt)
-    def i(key: String, dflt: Int) = opts.get(key).map(_.toInt).getOrElse(dflt)
-    def b(key: String, dflt: Boolean) = opts.get(key).map(_.toBoolean).getOrElse(dflt)
 
     final case class Loaded(ref: InstanceSource.InstanceRef, key: String,
         df: DataFrame, label: String, attrs: Seq[String], derived: Boolean)
     val loaded = refs.map { ref =>
-      val rsData = ref.dataset == "RS"
-      val derived = derivedFlag.getOrElse(ref.dataset == "D" || rsData)
-      val dir = ref.dir(dataRoot)
-      val (df, label): (DataFrame, String) =
-        if (rsData) {
-          val anomaly = RsLabels.labelFor(dir, ref.file)
-          val raw = RsSource.readRaw(spark, s"$dir/${ref.file}.csv")
-          (RsSource.snapshot(raw, anomaly.timestamp), anomaly.label)
-        } else if (derived)
-          (InstanceSource.readDerived(spark, dir, ref.file),
-            InstanceSource.injectionLabel(dir, ref.file))
-        else
-          (InstanceSource.readFundamental(spark, dir, ref.file),
-            InstanceSource.injectionLabel(dir, ref.file))
+      val (df, label, derived) = loadInstance(spark, dataRoot, ref, derivedFlag)
       Loaded(ref, s"${ref.dataset}/${ref.folder}/${ref.file}", df, label,
         Snapshots.attributes(df), derived)
     }
@@ -181,51 +280,7 @@ object Runner {
         // the per-file scan/join lineage should not ride along in each
         val union = group.map(l => l.df.withColumn("instance_id", lit(l.key)))
           .reduce(_ unionByName _).localCheckpoint(true)
-        val preds: Map[String, Seq[String]] = algorithm match {
-          case "riskloc" =>
-            BatchRiskLoc.run(union, "instance_id", attrs, RiskLoc.Options(
-              riskThreshold = d("risk-threshold", 0.5),
-              pepThreshold = d("pep-threshold", 0.02),
-              nRemove = i("n-remove", 5),
-              removeRelative = b("remove-relative", dflt = false),
-              pruneElements = b("prune-elements", dflt = true),
-              derived = derived))
-              .view.mapValues(RiskLoc.predictions).toMap
-          case "adtributor" =>
-            val rows = BatchAdtributor.run(union, "instance_id", attrs,
-              Adtributor.Options(tep = d("tep", 0.1), teep = d("teep", 0.1),
-                k = i("k", 3), derived = derived)).collect()
-            rows.groupBy(r => r.getString(r.fieldIndex("instance_id")))
-              .view.mapValues { rs =>
-                graft.model.Labels.canonicalPredictions(
-                  rs.sortBy(_.getInt(rs.head.fieldIndex("rank"))).toSeq.flatMap { r =>
-                    val dim = r.getString(r.fieldIndex("dimension"))
-                    r.getSeq[String](r.fieldIndex("elements")).map(e => s"$dim=$e")
-                  })
-              }.toMap
-          case "autoroot" =>
-            BatchAutoRoot.run(union, "instance_id", attrs,
-                AutoRoot.Options(deltaThreshold = d("delta-threshold", 0.25)))
-              .view.mapValues(AutoRoot.predictions).toMap
-          case "squeeze" =>
-            BatchSqueeze.run(union, "instance_id", attrs, Squeeze.Options(
-              psUpperBound = d("ps-upper-bound", 0.9),
-              maxNumElements = i("max-num-elements-single-cluster", 12),
-              derived = derived))
-          case "hotspot" =>
-            BatchHotSpot.predictions(BatchHotSpot.run(union, "instance_id", attrs,
-              HotSpot.Options(pt = d("pt", 0.8), m = i("m", 200),
-                scoring = opts.getOrElse("scoring", "gps"))))
-          case "robustspot" =>
-            BatchRobustSpot.predictions(BatchRobustSpot.run(union, "instance_id", attrs,
-              RobustSpot.Options(k = i("k", 3),
-                lambdaAmplification = i("lambda-amplification", 100),
-                caThreshold = d("contribution-ability-threshold", 0.0),
-                confidenceThreshold = d("confidence-threshold", 0.8),
-                derived = derived)))
-          case other => throw new IllegalArgumentException(
-            s"algorithm has no batch variant: $other")
-        }
+        val preds = runBatchAlgorithm(union, attrs, algorithm, derived, opts)
         val perCase = (System.nanoTime() - t0) / 1e9 / group.size
         group.map { l =>
           val s = Evaluation.score(preds.getOrElse(l.key, Seq.empty), l.label)
@@ -233,6 +288,70 @@ object Runner {
             s.f1, s.tp, s.fp, s.fn, perCase)
         }
       }
+  }
+
+  /** Instance-keyed parquet corpus mode (`--corpus`): the 100 TB input
+    * shape — one partitioned columnar table carrying every instance,
+    * ground truth in a `_labels.tsv` sidecar (instance_id TAB label).
+    * Sequential mode filters per instance off the shared scan; batch mode
+    * feeds the frame to the Batch* DAG as-is. */
+  def runCorpus(spark: SparkSession, corpusDir: String, algorithm: String,
+      mode: String, nThreads: Int,
+      opts: Map[String, String] = Map.empty): Seq[InstanceResult] = {
+    import org.apache.spark.sql.functions.col
+    val corpus = spark.read.parquet(corpusDir)
+    val labels: Map[String, String] = {
+      val f = new java.io.File(corpusDir, "_labels.tsv")
+      if (!f.isFile) Map.empty
+      else {
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try src.getLines().filter(_.nonEmpty).map { line =>
+          val Array(id, label) = line.split('\t')
+          id -> label
+        }.toMap
+        finally src.close()
+      }
+    }
+    val attrs = Snapshots.attributes(corpus.drop("instance_id"))
+    val derived = opts.get("derived").exists(_.toBoolean)
+
+    val resolvedMode =
+      if (mode != "auto") mode
+      else {
+        val perInst = corpus.groupBy(col("instance_id")).count()
+          .agg(org.apache.spark.sql.functions.max("count"),
+            org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+          .head()
+        val (maxRows, n) = (perInst.getLong(0), perInst.getLong(1).toInt)
+        val m = chooseMode(maxRows, n)
+        println(s"[runner] auto dispatch: maxRows/instance=$maxRows instances=$n -> $m " +
+          s"(crossover ${BatchCrossoverRows})")
+        m
+      }
+
+    if (resolvedMode == "batch" && algorithm != "rev_rec_adtributor") {
+      val t0 = System.nanoTime()
+      val preds = runBatchAlgorithm(corpus, attrs, algorithm, derived, opts)
+      val n = math.max(preds.size, labels.size)
+      val perCase = (System.nanoTime() - t0) / 1e9 / math.max(n, 1)
+      (preds.keySet ++ labels.keySet).toSeq.sorted.map { id =>
+        val s = Evaluation.score(preds.getOrElse(id, Seq.empty),
+          labels.getOrElse(id, ""))
+        InstanceResult("corpus", corpusDir, id, s.f1, s.tp, s.fp, s.fn, perCase)
+      }
+    } else {
+      val ids = corpus.select(col("instance_id").cast("string")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      graft.core.Concurrency.awaitAll(
+        ids.map { id => () =>
+          val df = corpus.filter(col("instance_id") === id).drop("instance_id")
+          val t0 = System.nanoTime()
+          val predictions = runAlgorithm(df, attrs, algorithm, derived, opts)
+          val seconds = (System.nanoTime() - t0) / 1e9
+          val s = Evaluation.score(predictions, labels.getOrElse(id, ""))
+          InstanceResult("corpus", corpusDir, id, s.f1, s.tp, s.fp, s.fn, seconds)
+        }, maxConcurrent = nThreads)
+    }
   }
 
   /** The reference's CLI name for the recursive variant is accepted too. */
@@ -260,18 +379,38 @@ object Runner {
     val nThreads = opts.getOrElse("n-threads", "10").toInt
     val derivedFlag = opts.get("derived").map(_.toBoolean)
     val out = opts.getOrElse("out", "results")
+    // --mode wins; legacy --batch [true|false] maps to batch/sequential
+    val mode = opts.get("mode").getOrElse(
+      opts.get("batch") match {
+        case Some(v) => if (v.toBoolean) "batch" else "sequential"
+        case None => "auto"
+      })
+    require(Set("auto", "batch", "sequential")(mode), s"bad --mode $mode")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = graft.core.Sessions.local(cpus, cpus, s"graft-run-$algorithm")
     spark.sparkContext.setLocalProperty("spark.scheduler.mode", "FAIR")
 
-    val refs = InstanceSource.instances(dataRoot, runPath)
-    require(refs.nonEmpty, s"no instances under $dataRoot/$runPath")
-
-    val results =
-      if (opts.get("batch").exists(_.toBoolean) && algorithm != "rev_rec_adtributor")
-        runBatch(spark, dataRoot, refs, algorithm, derivedFlag, opts)
-      else runAll(spark, dataRoot, refs, algorithm, derivedFlag, nThreads, opts)
+    val results = opts.get("corpus") match {
+      case Some(corpusDir) =>
+        runCorpus(spark, corpusDir, algorithm, mode, nThreads, opts)
+      case None =>
+        val refs = InstanceSource.instances(dataRoot, runPath)
+        require(refs.nonEmpty, s"no instances under $dataRoot/$runPath")
+        val resolvedMode =
+          if (mode != "auto") mode
+          else if (algorithm == "rev_rec_adtributor") "sequential"
+          else {
+            val maxRows = estimateMaxRowsPerInstance(spark, dataRoot, refs, derivedFlag)
+            val m = chooseMode(maxRows, refs.size)
+            println(s"[runner] auto dispatch: maxRows/instance=$maxRows " +
+              s"instances=${refs.size} -> $m (crossover ${BatchCrossoverRows})")
+            m
+          }
+        if (resolvedMode == "batch" && algorithm != "rev_rec_adtributor")
+          runBatch(spark, dataRoot, refs, algorithm, derivedFlag, opts)
+        else runAll(spark, dataRoot, refs, algorithm, derivedFlag, nThreads, opts)
+    }
 
     import spark.implicits._
     val all = results.toDF().orderBy("dataset", "folder", "file")

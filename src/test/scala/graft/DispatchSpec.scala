@@ -1,0 +1,52 @@
+package graft
+
+import graft.gen.HCorpus
+import graft.runner.Runner
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Pins the batch-vs-sequential auto dispatch (Runner.chooseMode /
+  * CROSSOVER.md) and the instance-keyed parquet corpus entry path:
+  *
+  *  - the rule: many small instances -> batch; any corpus whose largest
+  *    instance reaches the measured crossover -> sequential; a single
+  *    instance -> sequential (nothing to amortize);
+  *  - runCorpus end-to-end in both modes on a toy H corpus with the
+  *    _labels.tsv sidecar: same F1, causes found.
+  */
+class DispatchSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("chooseMode dispatches by rows/instance and instance count") {
+    val t = Runner.BatchCrossoverRows
+    assert(Runner.chooseMode(1000, 135) == "batch") // RS shape
+    assert(Runner.chooseMode(48000, 200) == "batch") // S protocol shape
+    assert(Runner.chooseMode(24000000, 100) == "sequential") // H protocol shape
+    assert(Runner.chooseMode(t, 100) == "sequential") // at the threshold
+    assert(Runner.chooseMode(t - 1, 100) == "batch") // just below
+    assert(Runner.chooseMode(100, 1) == "sequential") // nothing to amortize
+  }
+
+  test("runCorpus localizes a labeled parquet corpus in both modes") {
+    val dims = Seq("a" -> 4, "b" -> 3, "c" -> 5, "d" -> 4)
+    val dir = Files.createTempDirectory("graft-dispatch").toString
+    val n = 3
+    HCorpus.corpus(spark, n, dims).write.mode("overwrite").parquet(dir)
+    val labels = HCorpus.labels(n, dims).toSeq.sorted
+      .map { case (id, l) => s"$id\t$l" }.mkString("", "\n", "\n")
+    Files.writeString(java.nio.file.Paths.get(dir, "_labels.tsv"), labels)
+
+    val seq = Runner.runCorpus(spark, dir, "adtributor", "sequential", nThreads = 3)
+    val bat = Runner.runCorpus(spark, dir, "adtributor", "batch", nThreads = 3)
+    assert(seq.size == n && bat.size == n)
+    val seqF1 = seq.sortBy(_.file).map(r => r.file -> r.f1)
+    val batF1 = bat.sortBy(_.file).map(r => r.file -> r.f1)
+    assert(seqF1 == batF1, s"sequential $seqF1 != batch $batF1")
+    // the injected layer-1/2 anomalies are found (k=3 adtributor: tp>0)
+    assert(seq.map(_.tp).sum > 0)
+
+    // auto mode on a toy corpus (240-960 rows/instance) must pick batch
+    val auto = Runner.runCorpus(spark, dir, "adtributor", "auto", nThreads = 3)
+    assert(auto.sortBy(_.file).map(r => r.file -> r.f1) == batF1)
+  }
+}
