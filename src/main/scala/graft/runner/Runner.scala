@@ -43,21 +43,35 @@ object Runner {
     * DAGs, measured on the round-8 crossover sweep (CROSSOVER.md: H-shaped
     * corpora, both modes timed exactly as this runner executes them, with
     * prior endpoints RS_SWEEP_BATCH.md — batch wins 4-9x at 0.1-11k
-    * rows/instance — and H_SCALE.md — sequential wins 1.7-6x at 24M).
+    * rows/instance — and H_SCALE.md — sequential wins at 24M).
     * The mechanism: batch amortizes driver round-trips across instances
-    * but pays the multi-cuboid Expand over every instance's rows in one
-    * frame; sequential pays per-instance round-trips but its per-pass
-    * frames stay instance-sized. Rows/instance is the dominant variable;
-    * instance count mostly rescales both sides equally (the sequential
-    * path runs instances concurrently). */
+    * but pays its corpus-wide multi-cuboid passes over every instance's
+    * rows in one frame; sequential pays per-instance round-trips but its
+    * per-pass frames stay instance-sized. Rows/instance is the dominant
+    * variable; instance count mostly rescales both sides equally (the
+    * sequential path runs instances concurrently).
+    *
+    * Per-algorithm thresholds: riskloc's layer-capped deep pass keeps its
+    * batch DAG winning through 480k rows/instance (3.5x at 16 instances)
+    * while autoroot's batch edge is gone by 480k — their sequential paths
+    * cost very different driver coordination. Algorithms without measured
+    * mid-grid cells (squeeze, adtributor, hotspot, robustspot) inherit
+    * the conservative default: all lose batch-vs-sequential by 6-15x at
+    * the 24M H shape (H_SCALE.md), and their DAG structure (layer/round
+    * expand passes) matches autoroot's more than riskloc's. */
   val BatchCrossoverRows: Long = 400000L
+  val BatchCrossoverByAlgo: Map[String, Long] = Map(
+    "riskloc" -> 2000000L,
+    "autoroot" -> 400000L)
 
   /** Auto-dispatch rule (see [[BatchCrossoverRows]]). Uses the LARGEST
-    * instance, not the average: the batch DAG's Expand pain is driven by
-    * the big instances riding along in the unioned frame. */
-  def chooseMode(maxRowsPerInstance: Long, nInstances: Int): String =
-    if (nInstances <= 1 || maxRowsPerInstance >= BatchCrossoverRows) "sequential"
+    * instance, not the average: the batch DAG's corpus-wide passes are
+    * driven by the big instances riding along in the unioned frame. */
+  def chooseMode(algorithm: String, maxRowsPerInstance: Long, nInstances: Int): String = {
+    val threshold = BatchCrossoverByAlgo.getOrElse(algorithm, BatchCrossoverRows)
+    if (nInstances <= 1 || maxRowsPerInstance >= threshold) "sequential"
     else "batch"
+  }
 
   /** Load one instance's snapshot frame + ground-truth label. */
   def loadInstance(spark: SparkSession, dataRoot: String,
@@ -323,7 +337,7 @@ object Runner {
             org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
           .head()
         val (maxRows, n) = (perInst.getLong(0), perInst.getLong(1).toInt)
-        val m = chooseMode(maxRows, n)
+        val m = chooseMode(algorithm, maxRows, n)
         println(s"[runner] auto dispatch: maxRows/instance=$maxRows instances=$n -> $m " +
           s"(crossover ${BatchCrossoverRows})")
         m
@@ -402,7 +416,7 @@ object Runner {
           else if (algorithm == "rev_rec_adtributor") "sequential"
           else {
             val maxRows = estimateMaxRowsPerInstance(spark, dataRoot, refs, derivedFlag)
-            val m = chooseMode(maxRows, refs.size)
+            val m = chooseMode(algorithm, maxRows, refs.size)
             println(s"[runner] auto dispatch: maxRows/instance=$maxRows " +
               s"instances=${refs.size} -> $m (crossover ${BatchCrossoverRows})")
             m

@@ -19,12 +19,16 @@ class DispatchSpec extends AnyFunSuite {
 
   test("chooseMode dispatches by rows/instance and instance count") {
     val t = Runner.BatchCrossoverRows
-    assert(Runner.chooseMode(1000, 135) == "batch") // RS shape
-    assert(Runner.chooseMode(48000, 200) == "batch") // S protocol shape
-    assert(Runner.chooseMode(24000000, 100) == "sequential") // H protocol shape
-    assert(Runner.chooseMode(t, 100) == "sequential") // at the threshold
-    assert(Runner.chooseMode(t - 1, 100) == "batch") // just below
-    assert(Runner.chooseMode(100, 1) == "sequential") // nothing to amortize
+    assert(Runner.chooseMode("squeeze", 1000, 135) == "batch") // RS shape
+    assert(Runner.chooseMode("hotspot", 48000, 200) == "batch") // S protocol shape
+    assert(Runner.chooseMode("riskloc", 24000000, 100) == "sequential") // H protocol shape
+    assert(Runner.chooseMode("autoroot", 24000000, 100) == "sequential")
+    assert(Runner.chooseMode("squeeze", t, 100) == "sequential") // at the default threshold
+    assert(Runner.chooseMode("squeeze", t - 1, 100) == "batch") // just below
+    // riskloc's measured crossover is higher (layer-capped deep pass)
+    assert(Runner.chooseMode("riskloc", 480000, 16) == "batch")
+    assert(Runner.chooseMode("riskloc", Runner.BatchCrossoverByAlgo("riskloc"), 16) == "sequential")
+    assert(Runner.chooseMode("adtributor", 100, 1) == "sequential") // nothing to amortize
   }
 
   test("runCorpus localizes a labeled parquet corpus in both modes") {
