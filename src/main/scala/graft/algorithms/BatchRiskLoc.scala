@@ -31,15 +31,13 @@ import org.apache.spark.storage.StorageLevel
   * the reference: layer-1 cuboids see the iteration-start state, deeper
   * cuboids see this iteration's additions (riskloc.py:89-117).
   *
-  * DISPATCH (measured, round 8): this whole-corpus DAG wins when
-  * instances are small and many — scheduling-dominated corpora like RS
-  * (4-9x over sequential, RS_SWEEP_BATCH.md) — and LOSES to the
-  * concurrent per-instance sequential path once rows/instance outgrow
-  * Runner.BatchCrossoverRows, because every corpus-wide pass carries the
-  * big instances' rows (H_SCALE.md: sequential wins 1.7-6x at 24M
-  * rows/instance). Runner's default `--mode auto` picks per corpus from
-  * the CROSSOVER.md-measured threshold; batch is NOT the universal scale
-  * mode, it is the many-small-instances mode.
+  * DISPATCH (measured, round 8): with the layer-capped deep pass below,
+  * this DAG wins at every measured multi-instance shape — 2.2-13x over
+  * concurrent sequential at 48k rows/instance, 1.4-3.5x at 480k, 2.8x at
+  * 4.8M, 4.3x at the full 24M H shape (CROSSOVER.md; H_SCALE.md round-8:
+  * 341.8s vs 1466s) — so Runner's `--mode auto` batches riskloc for any
+  * n > 1. (The OTHER Batch* DAGs do lose to sequential at large
+  * instances; see their thresholds in Runner.BatchCrossoverByAlgo.)
   */
 object BatchRiskLoc {
 

@@ -52,16 +52,19 @@ object Runner {
     * sequential path runs instances concurrently).
     *
     * Per-algorithm thresholds: riskloc's layer-capped deep pass keeps its
-    * batch DAG winning through 480k rows/instance (3.5x at 16 instances)
-    * while autoroot's batch edge is gone by 480k — their sequential paths
-    * cost very different driver coordination. Algorithms without measured
+    * batch DAG winning at EVERY measured multi-instance shape — 2.2-13x
+    * at 48k rows/instance, 1.4-3.5x at 480k, 2.8x at 4.8M, and 4.3x at
+    * the full 24M H shape (batch 342s vs 1466s for 4 concurrent
+    * sequential runs; H_SCALE.md round-8) — so riskloc has no measured
+    * crossover and always batches (n > 1). autoroot's batch edge is gone
+    * by 480k (par) and inverted 5x at 4.8M. Algorithms without measured
     * mid-grid cells (squeeze, adtributor, hotspot, robustspot) inherit
     * the conservative default: all lose batch-vs-sequential by 6-15x at
-    * the 24M H shape (H_SCALE.md), and their DAG structure (layer/round
-    * expand passes) matches autoroot's more than riskloc's. */
+    * the 24M H shape (H_SCALE.md r7), and their DAG structure (layer/
+    * round expand passes) matches autoroot's more than riskloc's. */
   val BatchCrossoverRows: Long = 400000L
   val BatchCrossoverByAlgo: Map[String, Long] = Map(
-    "riskloc" -> 2000000L,
+    "riskloc" -> Long.MaxValue,
     "autoroot" -> 400000L)
 
   /** Auto-dispatch rule (see [[BatchCrossoverRows]]). Uses the LARGEST

@@ -21,13 +21,13 @@ class DispatchSpec extends AnyFunSuite {
     val t = Runner.BatchCrossoverRows
     assert(Runner.chooseMode("squeeze", 1000, 135) == "batch") // RS shape
     assert(Runner.chooseMode("hotspot", 48000, 200) == "batch") // S protocol shape
-    assert(Runner.chooseMode("riskloc", 24000000, 100) == "sequential") // H protocol shape
-    assert(Runner.chooseMode("autoroot", 24000000, 100) == "sequential")
+    assert(Runner.chooseMode("autoroot", 24000000, 100) == "sequential") // H protocol shape
     assert(Runner.chooseMode("squeeze", t, 100) == "sequential") // at the default threshold
     assert(Runner.chooseMode("squeeze", t - 1, 100) == "batch") // just below
-    // riskloc's measured crossover is higher (layer-capped deep pass)
+    // riskloc's layer-capped batch DAG wins at every measured shape
+    // including 24M x 4 (H_SCALE.md round-8: 342s vs 1466s) — no crossover
     assert(Runner.chooseMode("riskloc", 480000, 16) == "batch")
-    assert(Runner.chooseMode("riskloc", Runner.BatchCrossoverByAlgo("riskloc"), 16) == "sequential")
+    assert(Runner.chooseMode("riskloc", 24000000, 100) == "batch")
     assert(Runner.chooseMode("adtributor", 100, 1) == "sequential") // nothing to amortize
   }
 
