@@ -342,7 +342,7 @@ object Runner {
         val (maxRows, n) = (perInst.getLong(0), perInst.getLong(1).toInt)
         val m = chooseMode(algorithm, maxRows, n)
         println(s"[runner] auto dispatch: maxRows/instance=$maxRows instances=$n -> $m " +
-          s"(crossover ${BatchCrossoverRows})")
+          s"(crossover ${BatchCrossoverByAlgo.getOrElse(algorithm, BatchCrossoverRows)})")
         m
       }
 
@@ -421,7 +421,8 @@ object Runner {
             val maxRows = estimateMaxRowsPerInstance(spark, dataRoot, refs, derivedFlag)
             val m = chooseMode(algorithm, maxRows, refs.size)
             println(s"[runner] auto dispatch: maxRows/instance=$maxRows " +
-              s"instances=${refs.size} -> $m (crossover ${BatchCrossoverRows})")
+              s"instances=${refs.size} -> $m " +
+              s"(crossover ${BatchCrossoverByAlgo.getOrElse(algorithm, BatchCrossoverRows)})")
             m
           }
         if (resolvedMode == "batch" && algorithm != "rev_rec_adtributor")
