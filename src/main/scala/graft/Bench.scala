@@ -121,6 +121,10 @@ object Bench {
     // BENCH_ONLY=q63,q65 runs just the named-prefix queries (dev loop for
     // single-query timing; the official number is always the full run)
     val only = sys.env.get("BENCH_ONLY").map(_.split(',').toSeq)
+    // names get interpolated into the JSON result line — reject anything
+    // that would need escaping rather than emit invalid JSON
+    only.foreach(names => require(names.forall(_.matches("[A-Za-z0-9_]+")),
+      s"BENCH_ONLY must be comma-separated [A-Za-z0-9_]+ names, got: ${sys.env("BENCH_ONLY")}"))
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     // mid-run multicore probes: before/after can miss a contention window

@@ -69,7 +69,14 @@ object Runner {
 
   /** Auto-dispatch rule (see [[BatchCrossoverRows]]). Uses the LARGEST
     * instance, not the average: the batch DAG's corpus-wide passes are
-    * driven by the big instances riding along in the unioned frame. */
+    * driven by the big instances riding along in the unioned frame.
+    *
+    * Granularity: the non-corpus path resolves the mode ONCE for the whole
+    * ref set, even though runBatch executes per (dataset, folder, attrs)
+    * group — one oversized instance in a mixed run forces every group
+    * sequential. Deliberate: the shipped corpora are homogeneous per run,
+    * and a per-group resolution would pay one count job per group before
+    * any work starts. Revisit if mixed-size ref sets become a real path. */
   def chooseMode(algorithm: String, maxRowsPerInstance: Long, nInstances: Int): String = {
     val threshold = BatchCrossoverByAlgo.getOrElse(algorithm, BatchCrossoverRows)
     if (nInstances <= 1 || maxRowsPerInstance >= threshold) "sequential"
@@ -323,8 +330,11 @@ object Runner {
       else {
         val src = scala.io.Source.fromFile(f, "UTF-8")
         try src.getLines().filter(_.nonEmpty).map { line =>
-          val Array(id, label) = line.split('\t')
-          id -> label
+          // split("\t", 2): Java split drops trailing empty fields, so an
+          // empty label (or one containing a tab) must not crash the run
+          val f = line.split("\t", 2)
+          require(f.length == 2, s"malformed _labels.tsv line (no tab): '$line'")
+          f(0) -> f(1)
         }.toMap
         finally src.close()
       }
@@ -339,6 +349,7 @@ object Runner {
           .agg(org.apache.spark.sql.functions.max("count"),
             org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
           .head()
+        require(!perInst.isNullAt(0), s"empty corpus at $corpusDir")
         val (maxRows, n) = (perInst.getLong(0), perInst.getLong(1).toInt)
         val m = chooseMode(algorithm, maxRows, n)
         println(s"[runner] auto dispatch: maxRows/instance=$maxRows instances=$n -> $m " +
@@ -417,7 +428,16 @@ object Runner {
         val resolvedMode =
           if (mode != "auto") mode
           else if (algorithm == "rev_rec_adtributor") "sequential"
-          else {
+          // short-circuit the largest-instance count job when the decision
+          // cannot depend on it: a single instance is always sequential; a
+          // Long.MaxValue threshold (riskloc) always batches for n > 1
+          else if (refs.size <= 1) "sequential"
+          else if (BatchCrossoverByAlgo.getOrElse(algorithm,
+              BatchCrossoverRows) == Long.MaxValue) {
+            println(s"[runner] auto dispatch: instances=${refs.size} -> batch " +
+              "(crossover MaxValue — no count job needed)")
+            "batch"
+          } else {
             val maxRows = estimateMaxRowsPerInstance(spark, dataRoot, refs, derivedFlag)
             val m = chooseMode(algorithm, maxRows, refs.size)
             println(s"[runner] auto dispatch: maxRows/instance=$maxRows " +
