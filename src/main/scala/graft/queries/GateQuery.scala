@@ -21,4 +21,14 @@ object GateQuery {
     GateQuery(name, fn, Some(oracle))
   def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): GateQuery =
     GateQuery(name, fn, None)
+
+  /** Load a long oracle from src/main/resources/graft/oracles (the DuckDB
+    * harness accepts multi-statement SQL, so these can define macros —
+    * e.g. the full xxHash64 spec for the simhash oracle). */
+  def oracleResource(file: String): String = {
+    val in = getClass.getResourceAsStream(s"/graft/oracles/$file")
+    require(in != null, s"missing oracle resource $file")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
 }

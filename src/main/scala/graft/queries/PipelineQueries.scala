@@ -162,7 +162,12 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
-    GateQuery.rowsOnly("q58_simhash") { (s, dir) =>
+    GateQuery("q58_simhash",
+      // full xxHash64 (public spec, seed 42) re-implemented in DuckDB SQL
+      // macros (HUGEINT mod-2^64 arithmetic), then the simhash bit votes
+      // and an exact all-pairs hamming join — valid as an oracle because
+      // the pigeonhole banding is full-recall, so banded == all-pairs
+      GateQuery.oracleResource("q58_simhash.sql")) { (s, dir) =>
       // maxHamming 7 -> 8 banding chunks of 8 bits: the widest radius the
       // guaranteed-recall banding supports without the candidate join
       // degenerating (chunk width 64/(h+1); see Dedup scale note)
@@ -294,7 +299,12 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
-    GateQuery.rowsOnly("q64_multimodal") { (s, dir) =>
+    GateQuery("q64_multimodal",
+      // the StubCodec fold is deterministic: h = h*31 + byte (64-bit wrap,
+      // expressed as a closed-form window prefix sum via 31^{-k} mod 2^64)
+      // and float32 bucket accumulation (every step cast to REAL — f32 ops
+      // emulated in f64 are correctly rounded, so DuckDB matches the JVM)
+      GateQuery.oracleResource("q64_multimodal.sql")) { (s, dir) =>
       // the modality path end to end: documents stand in for a media
       // table (payload = utf-8 bytes; a real pipeline reads binary
       // parquet columns), batched per-partition decode via the marked
