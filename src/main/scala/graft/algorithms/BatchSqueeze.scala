@@ -172,12 +172,18 @@ object BatchSqueeze {
       .drop("__ci", "__lo", "__hi", "__nthr")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // per-(instance, cluster) subset totals — layer-invariant, ONE pass
-    val totals: Map[(String, Int), (Long, Double)] = joined.filter(col("__ins"))
+    // per-(instance, cluster) subset totals — layer-invariant, ONE pass.
+    // L1 masses are EXACT sums throughout this DAG (see Squeeze.run and
+    // graft.kernels.ExactSum): scores must be functions of the row set
+    // alone or the reference's cross-cuboid ties are lost
+    import graft.functions.ExactSumAgg.exactSum
+    import graft.kernels.ExactSum
+    val totals: Map[(String, Int), (Long, Array[Long])] = joined.filter(col("__ins"))
       .groupBy(inst.as("__i"), col("__cl"))
-      .agg(count(lit(1)).as("n"), sum(abs(col("real") - col("predict"))).as("l1"))
+      .agg(count(lit(1)).as("n"), exactSum(abs(col("real") - col("predict"))).as("l1"))
       .collect()
-      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), ExactSum.deserialize(r.getAs[Array[Byte]](3)))).toMap
 
     def derivedColOr(name: String): Column =
       if (joined.columns.contains(name)) col(name) else lit(0.0)
@@ -204,27 +210,29 @@ object BatchSqueeze {
           count(when(col("__inc"), lit(1))).as("n_abn"),
           count(lit(1)).as("n_all"),
           count(when(col("__ins"), lit(1))).as("n_sub"),
-          sum(when(col("__ins"), col("real")).otherwise(0.0)).as("sv_sub"),
-          sum(when(col("__ins"), col("predict")).otherwise(0.0)).as("sf_sub"),
-          sum(when(col("__ins"), abs(col("real") - col("predict"))).otherwise(0.0)).as("l1_sub"),
-          sum(when(col("__ins"), derivedColOr("real_a")).otherwise(0.0)).as("sva"),
-          sum(when(col("__ins"), derivedColOr("real_b")).otherwise(0.0)).as("svb"),
-          sum(when(col("__ins"), derivedColOr("predict_a")).otherwise(0.0)).as("sfa"),
-          sum(when(col("__ins"), derivedColOr("predict_b")).otherwise(0.0)).as("sfb"))
+          exactSum(when(col("__ins"), col("real")).otherwise(0.0)).as("sv_sub"),
+          exactSum(when(col("__ins"), col("predict")).otherwise(0.0)).as("sf_sub"),
+          exactSum(when(col("__ins"), abs(col("real") - col("predict"))).otherwise(0.0)).as("l1_sub"),
+          exactSum(when(col("__ins"), derivedColOr("real_a")).otherwise(0.0)).as("sva"),
+          exactSum(when(col("__ins"), derivedColOr("real_b")).otherwise(0.0)).as("svb"),
+          exactSum(when(col("__ins"), derivedColOr("predict_a")).otherwise(0.0)).as("sfa"),
+          exactSum(when(col("__ins"), derivedColOr("predict_b")).otherwise(0.0)).as("sfb"))
         .collect()
 
       // driver: per (instance, cluster, cuboid) element order, partition
       // prefixes and ripple ratios (squeeze.py:148-161; see Squeeze.run
       // for the np.unique/argsort tie-order notes replicated here)
       case class Plan(inst: String, cl: Int, cid: Int,
-          elems: Array[(Seq[String], Long, Long, Long, Double, Double, Double, Double, Double, Double, Double)],
+          elems: Array[(Seq[String], Long, Long, Long, Array[Long], Array[Long], Array[Long], Array[Long], Array[Long], Array[Long], Array[Long])],
           partitions: Int, ratios: Array[Double])
       val plans = stats.groupBy(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq
         .sortBy { case ((i, cl, cid), _) => (i, cl, cid) }
         .flatMap { case ((i, cl, cid), rows) =>
           val all = rows.map(r => (r.getSeq[String](3), r.getLong(4), r.getLong(5), r.getLong(6),
-            r.getDouble(7), r.getDouble(8), r.getDouble(9),
-            r.getDouble(10), r.getDouble(11), r.getDouble(12), r.getDouble(13)))
+            ExactSum.deserialize(r.getAs[Array[Byte]](7)), ExactSum.deserialize(r.getAs[Array[Byte]](8)),
+            ExactSum.deserialize(r.getAs[Array[Byte]](9)), ExactSum.deserialize(r.getAs[Array[Byte]](10)),
+            ExactSum.deserialize(r.getAs[Array[Byte]](11)), ExactSum.deserialize(r.getAs[Array[Byte]](12)),
+            ExactSum.deserialize(r.getAs[Array[Byte]](13))))
           val nDistinctIdx = all.length
           val abn = all.filter(_._2 > 0)
           if (abn.isEmpty) None
@@ -236,13 +244,18 @@ object BatchSqueeze {
             if (nPart <= 0) Some(Plan(i, cl, cid, ordered.toArray, 0, Array.empty))
             else {
               val ratios = new Array[Double](nPart)
-              var cv = 0.0; var cf = 0.0
-              var cva = 0.0; var cvb = 0.0; var cfa = 0.0; var cfb = 0.0
+              val cv = ExactSum.newAcc(); val cf = ExactSum.newAcc()
+              val cva = ExactSum.newAcc(); val cvb = ExactSum.newAcc()
+              val cfa = ExactSum.newAcc(); val cfb = ExactSum.newAcc()
               for (p <- 1 to nPart) {
-                cv += ordered(p - 1)._5; cf += ordered(p - 1)._6
-                cva += ordered(p - 1)._8; cvb += ordered(p - 1)._9
-                cfa += ordered(p - 1)._10; cfb += ordered(p - 1)._11
-                ratios(p - 1) = if (opt.derived) (cva / cvb) / (cfa / cfb) else cv / cf
+                ExactSum.merge(cv, ordered(p - 1)._5); ExactSum.merge(cf, ordered(p - 1)._6)
+                ExactSum.merge(cva, ordered(p - 1)._8); ExactSum.merge(cvb, ordered(p - 1)._9)
+                ExactSum.merge(cfa, ordered(p - 1)._10); ExactSum.merge(cfb, ordered(p - 1)._11)
+                ratios(p - 1) =
+                  if (opt.derived)
+                    (ExactSum.value(cva) / ExactSum.value(cvb)) /
+                      (ExactSum.value(cfa) / ExactSum.value(cfb))
+                  else ExactSum.value(cv) / ExactSum.value(cf)
               }
               Some(Plan(i, cl, cid, ordered.toArray, nPart, ratios))
             }
@@ -261,7 +274,7 @@ object BatchSqueeze {
         val ratioDf = ratioRows.toDF("ti", "tcl", "tcid", "ratios")
 
         val aggs: Seq[Column] = (1 to maxP).map(p =>
-          sum(when(col("rank") <= p,
+          exactSum(when(col("rank") <= p,
             abs(col("real") - col("predict") * element_at(col("ratios"), p)))
             .otherwise(0.0)).as(s"l1a_$p"))
         exploded
@@ -286,16 +299,26 @@ object BatchSqueeze {
         } else {
           val (nSubTotal, l1SubTotal) = totals((pl.inst, pl.cl))
           val l1aRow = l1Terms.get((pl.inst, pl.cl, pl.cid))
-          var cumN = 0L; var cumL1 = 0.0
+          var cumN = 0L
+          val cumL1 = ExactSum.newAcc()
           val scores = new Array[Double](pl.partitions)
           for (p <- 1 to pl.partitions) {
             cumN += pl.elems(p - 1)._4
-            cumL1 += pl.elems(p - 1)._7
+            ExactSum.merge(cumL1, pl.elems(p - 1)._7)
             val n1 = cumN.toDouble
             val n2 = (nSubTotal - cumN).toDouble
-            val l1v2f2 = if (n2 == 0) 0.0 else l1SubTotal - cumL1
-            val l1v1a1 = l1aRow.map(_.getDouble(2 + p)).getOrElse(0.0)
-            val denom = Squeeze.divideGuard(cumL1, n1) + Squeeze.divideGuard(l1v2f2, n2)
+            val l1v1f1 = ExactSum.value(cumL1)
+            val l1v2f2 =
+              if (n2 == 0) 0.0
+              else {
+                val c = ExactSum.copy(l1SubTotal)
+                ExactSum.merge(c, ExactSum.negated(cumL1))
+                ExactSum.value(c)
+              }
+            val l1v1a1 = l1aRow
+              .map(r => ExactSum.valueOfBytes(r.getAs[Array[Byte]](2 + p)))
+              .getOrElse(0.0)
+            val denom = Squeeze.divideGuard(l1v1f1, n1) + Squeeze.divideGuard(l1v2f2, n2)
             val num = Squeeze.divideGuard(l1v1a1, n1) + Squeeze.divideGuard(l1v2f2, n2)
             scores(p - 1) = 1.0 - num / denom
           }
@@ -323,10 +346,12 @@ object BatchSqueeze {
       }
       .groupBy(_._1)
       .map { case (i, rcs) =>
+        // np.unique on frozensets, exactly as Squeeze.run (set-equality
+        // dedup keeping numpy's surviving object, then that object's own
+        // frozenset iteration order)
         i -> Labels.canonicalPredictions(
-          rcs.sortBy(_._2)
-            .map(t => Squeeze.frozensetOrder(attributes, t._3).map(_.label).mkString(";"))
-            .distinct)
+          Squeeze.numpyUniqueRootCauses(rcs.sortBy(_._2).map(_._3))
+            .map(rc => Squeeze.frozensetOrder(attributes, rc).map(_.label).mkString(";")))
       }
     empty ++ byInstance
   }

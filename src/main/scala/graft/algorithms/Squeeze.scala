@@ -219,10 +219,12 @@ object Squeeze {
       intervals.tail.flatMap { iv => Seq(
         count(when(clusterSubset(iv, isNormal), lit(1)))) } ++
       intervals.map { iv =>
-        sum(when(clusterSubset(iv, isNormal), abs(col("real") - col("predict"))).otherwise(0.0)) }: _*)
+        graft.functions.ExactSumAgg.exactSum(
+          when(clusterSubset(iv, isNormal), abs(col("real") - col("predict"))).otherwise(0.0)) }: _*)
       .collect()(0)
-    val subTotals: Seq[(Long, Double)] = intervals.indices.map { i =>
-      (subTotalsRow.getLong(i), subTotalsRow.getDouble(intervals.size + i)) }
+    val subTotals: Seq[(Long, Array[Long])] = intervals.indices.map { i =>
+      (subTotalsRow.getLong(i),
+        graft.kernels.ExactSum.deserialize(subTotalsRow.getAs[Array[Byte]](intervals.size + i))) }
 
     // Cluster searches are independent (read-only over the shared cached
     // frame): run them on concurrent driver threads so their many small
@@ -248,7 +250,32 @@ object Squeeze {
 
     df.unpersist(); base.unpersist()
     Labels.canonicalPredictions(
-      rootCauses.map(rc => frozensetOrder(attributes, rc).map(_.label).mkString(";")).distinct)
+      numpyUniqueRootCauses(rootCauses)
+        .map(rc => frozensetOrder(attributes, rc).map(_.label).mkString(";")))
+  }
+
+  /** np.unique over the per-cluster root causes (squeeze.py:65-70,
+    * root_cause_string_list): numpy sorts the OBJECT array of frozensets
+    * (generic introsort; Py_LT on frozensets is PROPER SUBSET, a partial
+    * order) and keeps entries that differ from their left neighbour —
+    * the FIRST object of each adjacent-equal run survives. Dedup must
+    * compare element SETS, not strings: two clusters can pick the same
+    * set through different argsort orders, and the string (frozenset
+    * iteration order, which depends on insertion order under hash
+    * collisions) then differs between them — a string `.distinct` keeps
+    * both where the reference keeps one (GEN_SWEEP_S.md r9, file
+    * 512592). The surviving object's OWN insertion order feeds
+    * [[frozensetOrder]], exactly like the reference stringifies the
+    * surviving frozenset. */
+  private[algorithms] def numpyUniqueRootCauses(rcs: Seq[Seq[Element]]): Seq[Seq[Element]] = {
+    if (rcs.length < 2) return rcs
+    val arr: Array[(Seq[Element], Set[String])] =
+      rcs.map(rc => (rc, rc.map(_.label).toSet)).toArray
+    graft.kernels.NumpyArgsort.sortObjects[(Seq[Element], Set[String])](arr,
+      (x, y) => x._2 != y._2 && x._2.subsetOf(y._2))
+    val out = collection.mutable.ArrayBuffer(arr(0)._1)
+    for (i <- 1 until arr.length if arr(i)._2 != arr(i - 1)._2) out += arr(i)._1
+    out.toSeq
   }
 
   /** Unique element-sets -> canonical strings (squeeze.py:65-70). The
@@ -283,7 +310,7 @@ object Squeeze {
   private def locateInCluster(
       df: DataFrame, attributes: Seq[String],
       lo: Double, hi: Double, isNormal: Column,
-      scoreWeight: Double, nSubTotal: Long, l1SubTotal: Double,
+      scoreWeight: Double, nSubTotal: Long, l1SubTotal: Array[Long],
       opt: Options): Option[Seq[Element]] = {
 
     val inCluster: Column = col("deviation") >= lo && col("deviation") <= hi
@@ -306,36 +333,45 @@ object Squeeze {
       // recomputing it per consuming pass is map-side CPU only.
       val exploded = Cuboids.expand(df, cuboids)
 
-      // pass 1: per-element stats over abnormal / all / subset rows
+      // pass 1: per-element stats over abnormal / all / subset rows.
+      // Every double mass is an EXACT sum (graft.kernels.ExactSum): the
+      // score arithmetic downstream must be a function of the row SET
+      // alone — the reference ties cuboids exactly when their partitions
+      // select the same rows, and a plain shuffle-order `sum` loses those
+      // ties (GEN_SWEEP_S.md r9). Counts stay plain (already exact).
+      import graft.functions.ExactSumAgg.exactSum
       val stats = exploded
         .groupBy(col("cb.cid").as("cid"), col("cb.key").as("key"))
         .agg(
           count(when(inCluster, lit(1))).as("n_abn"),
           count(lit(1)).as("n_all"),
           count(when(inSubset, lit(1))).as("n_sub"),
-          sum(when(inSubset, col("real")).otherwise(0.0)).as("sv_sub"),
-          sum(when(inSubset, col("predict")).otherwise(0.0)).as("sf_sub"),
-          sum(when(inSubset, abs(col("real") - col("predict"))).otherwise(0.0)).as("l1_sub"),
+          exactSum(when(inSubset, col("real")).otherwise(0.0)).as("sv_sub"),
+          exactSum(when(inSubset, col("predict")).otherwise(0.0)).as("sf_sub"),
+          exactSum(when(inSubset, abs(col("real") - col("predict"))).otherwise(0.0)).as("l1_sub"),
           // derived mode: the ripple ratio sums the MEASURE COMPONENTS
           // first and divides after (get_derived_dataframe reduction='sum'
           // applies op to the summed a/b frames, squeeze.py:325-335) — a
           // sum of per-row ratios is a different number entirely
-          sum(when(inSubset, derivedColOr("real_a")).otherwise(0.0)).as("sva"),
-          sum(when(inSubset, derivedColOr("real_b")).otherwise(0.0)).as("svb"),
-          sum(when(inSubset, derivedColOr("predict_a")).otherwise(0.0)).as("sfa"),
-          sum(when(inSubset, derivedColOr("predict_b")).otherwise(0.0)).as("sfb"))
+          exactSum(when(inSubset, derivedColOr("real_a")).otherwise(0.0)).as("sva"),
+          exactSum(when(inSubset, derivedColOr("real_b")).otherwise(0.0)).as("svb"),
+          exactSum(when(inSubset, derivedColOr("predict_a")).otherwise(0.0)).as("sfa"),
+          exactSum(when(inSubset, derivedColOr("predict_b")).otherwise(0.0)).as("sfb"))
         .persist(StorageLevel.MEMORY_AND_DISK)
 
       val perCid = stats.collect().groupBy(_.getInt(0))
 
       // driver: order elements per cuboid by descent score; compute
       // cumulative stats; build rank + ratio tables for pass 2
-      case class Plan(cid: Int, elems: Array[(Seq[String], Long, Long, Long, Double, Double, Double, Double, Double, Double, Double)],
+      case class Plan(cid: Int, elems: Array[(Seq[String], Long, Long, Long, Array[Long], Array[Long], Array[Long], Array[Long], Array[Long], Array[Long], Array[Long])],
           partitions: Int, ratios: Array[Double])
       val plans = perCid.toSeq.sortBy(_._1).flatMap { case (cid, rows) =>
+        import graft.kernels.ExactSum
         val all = rows.map(r => (r.getSeq[String](1), r.getLong(2), r.getLong(3), r.getLong(4),
-          r.getDouble(5), r.getDouble(6), r.getDouble(7),
-          r.getDouble(8), r.getDouble(9), r.getDouble(10), r.getDouble(11)))
+          ExactSum.deserialize(r.getAs[Array[Byte]](5)), ExactSum.deserialize(r.getAs[Array[Byte]](6)),
+          ExactSum.deserialize(r.getAs[Array[Byte]](7)), ExactSum.deserialize(r.getAs[Array[Byte]](8)),
+          ExactSum.deserialize(r.getAs[Array[Byte]](9)), ExactSum.deserialize(r.getAs[Array[Byte]](10)),
+          ExactSum.deserialize(r.getAs[Array[Byte]](11))))
         val nDistinctIdx = all.length // distinct cuboid tuples in full data
         val abn = all.filter(_._2 > 0)
         if (abn.isEmpty) None
@@ -358,15 +394,24 @@ object Squeeze {
           val nPart = math.min(math.min(ordered.length, opt.maxNumElements), nDistinctIdx - 1)
           if (nPart <= 0) Some(Plan(cid, ordered.toArray, 0, Array.empty))
           else {
+            // cumulative prefixes as exact merges: the prefix mass equals
+            // the exact sum over the prefix ROWS regardless of the
+            // per-element grouping, so two cuboids covering the same rows
+            // get bitwise-equal ratios (reference tie semantics)
             val ratios = new Array[Double](nPart)
-            var cv = 0.0; var cf = 0.0
-            var cva = 0.0; var cvb = 0.0; var cfa = 0.0; var cfb = 0.0
+            val cv = ExactSum.newAcc(); val cf = ExactSum.newAcc()
+            val cva = ExactSum.newAcc(); val cvb = ExactSum.newAcc()
+            val cfa = ExactSum.newAcc(); val cfb = ExactSum.newAcc()
             for (p <- 1 to nPart) {
-              cv += ordered(p - 1)._5; cf += ordered(p - 1)._6
-              cva += ordered(p - 1)._8; cvb += ordered(p - 1)._9
-              cfa += ordered(p - 1)._10; cfb += ordered(p - 1)._11
+              ExactSum.merge(cv, ordered(p - 1)._5); ExactSum.merge(cf, ordered(p - 1)._6)
+              ExactSum.merge(cva, ordered(p - 1)._8); ExactSum.merge(cvb, ordered(p - 1)._9)
+              ExactSum.merge(cfa, ordered(p - 1)._10); ExactSum.merge(cfb, ordered(p - 1)._11)
               // reference: plain np division — inf/NaN propagate into ps
-              ratios(p - 1) = if (opt.derived) (cva / cvb) / (cfa / cfb) else cv / cf
+              ratios(p - 1) =
+                if (opt.derived)
+                  (ExactSum.value(cva) / ExactSum.value(cvb)) /
+                    (ExactSum.value(cfa) / ExactSum.value(cfb))
+                else ExactSum.value(cv) / ExactSum.value(cf)
             }
             Some(Plan(cid, ordered.toArray, nPart, ratios))
           }
@@ -391,11 +436,11 @@ object Squeeze {
           .groupBy(col("rcid").as("cid"))
           .agg(
             (1 to maxP).map(p =>
-              sum(when(col("rank") <= p,
+              graft.functions.ExactSumAgg.exactSum(when(col("rank") <= p,
                 abs(col("real") - col("predict") * element_at(col("ratios"), p)))
                 .otherwise(0.0)).as(s"l1a_$p")).head,
             (1 to maxP).map(p =>
-              sum(when(col("rank") <= p,
+              graft.functions.ExactSumAgg.exactSum(when(col("rank") <= p,
                 abs(col("real") - col("predict") * element_at(col("ratios"), p)))
                 .otherwise(0.0)).as(s"l1a_$p")).tail: _*)
           .collect().map(r => r.getInt(0) -> r).toMap
@@ -416,19 +461,29 @@ object Squeeze {
           results += CuboidResult(pl.cid, layer, rc, Double.NegativeInfinity, pl.elems.length)
         } else {
           val l1aRow = l1Terms.get(pl.cid)
-          var cumN = 0L; var cumL1 = 0.0
+          var cumN = 0L
+          val cumL1 = graft.kernels.ExactSum.newAcc()
           val scores = new Array[Double](pl.partitions)
           for (p <- 1 to pl.partitions) {
             cumN += pl.elems(p - 1)._4
-            cumL1 += pl.elems(p - 1)._7
+            graft.kernels.ExactSum.merge(cumL1, pl.elems(p - 1)._7)
             val n1 = cumN.toDouble
             val n2 = (nSubTotal - cumN).toDouble
-            val l1v1f1 = cumL1
-            // empty complement: its L1 is definitionally 0 — the
-            // subtraction residual (~1e-16) would turn divide(x, 0) into
-            // inf and the score into NaN where the reference gets 0
-            val l1v2f2 = if (n2 == 0) 0.0 else l1SubTotal - cumL1
-            val l1v1a1 = l1aRow.map(_.getDouble(p)).getOrElse(0.0)
+            val l1v1f1 = graft.kernels.ExactSum.value(cumL1)
+            // empty complement: its L1 is definitionally 0. With exact
+            // accumulators the complement mass is total MINUS prefix
+            // computed exactly (no subtraction residual), so it equals
+            // the exact sum over the complement rows themselves
+            val l1v2f2 =
+              if (n2 == 0) 0.0
+              else {
+                val c = graft.kernels.ExactSum.copy(l1SubTotal)
+                graft.kernels.ExactSum.merge(c, graft.kernels.ExactSum.negated(cumL1))
+                graft.kernels.ExactSum.value(c)
+              }
+            val l1v1a1 = l1aRow
+              .map(r => graft.kernels.ExactSum.valueOfBytes(r.getAs[Array[Byte]](p)))
+              .getOrElse(0.0)
             val denom = divideGuard(l1v1f1, n1) + divideGuard(l1v2f2, n2)
             val num = divideGuard(l1v1a1, n1) + divideGuard(l1v2f2, n2)
             val ps = 1.0 - num / denom

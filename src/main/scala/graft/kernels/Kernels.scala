@@ -125,17 +125,84 @@ object Kernels {
   }
 
   /** Reference's smoothing (density_cluster.py:11-15): valid convolution
-    * with a ones kernel, original head prepended. */
+    * with a ones kernel, original head prepended.
+    *
+    * Rounding parity: np.convolve dispatches by KERNEL LENGTH on the
+    * container's numpy 1.26/OpenBLAS — windows <= 11 go through
+    * small_correlate (plain ascending sequential accumulation); larger
+    * windows call cblas_ddot, whose PRESCOTT SSE2 kernel (the
+    * DYNAMIC_ARCH fallback selected on this virtualized Xeon —
+    * openblas_get_corename() = "Prescott") folds element PAIRS into four
+    * 2-lane accumulators on a fixed schedule and reduces once at the
+    * end. The smoothed density feeds strict-'>'/'<=' extrema tests
+    * (argrelextrema over near-plateaus), and the reference's cluster
+    * boundaries genuinely flip on these last-ulp differences
+    * (GEN_SWEEP_S.md r9: maxima at ddot-noise positions that an exact or
+    * sequential sum does not produce), so both trees are replicated
+    * bit-for-bit — verified against np.convolve on random magnitudes for
+    * every window length 7..100. */
   def smooth(arr: Array[Double], window: Int): Array[Double] = {
     if (window <= 1) return arr.clone()
     val out = new Array[Double](arr.length)
     for (i <- 0 until math.min(window - 1, arr.length)) out(i) = arr(i)
     for (i <- window - 1 until arr.length) {
-      var s = 0.0
-      for (j <- i - window + 1 to i) s += arr(j)
+      val from = i - window + 1
+      val s =
+        if (window <= 11) { // numpy small_correlate: ascending sequential
+          var acc = 0.0
+          for (j <- from to i) acc += arr(j)
+          acc
+        } else ddotOnesPrescott(arr, from, window)
       out(i) = s / window
     }
     out
+  }
+
+  /** OpenBLAS ddot_k_PRESCOTT(n, x, 1, ones, 1) summation tree (both its
+    * aligned and shufpd-misaligned x paths compute the same tree; the
+    * ones buffer is 16-byte aligned so the y pre-peel never fires):
+    * pairs t of the 16-element main region go to accumulator t mod 4;
+    * the <=15-element tail restarts pair->accumulator assignment at 0
+    * for each of its 8/4/2 sub-blocks; a trailing odd scalar lands in
+    * accumulator 0 lane 0; lanes reduce as ((a0+a1)+(a2+a3)) then
+    * lane0+lane1. */
+  private def ddotOnesPrescott(arr: Array[Double], from: Int, n: Int): Double = {
+    var acc00 = 0.0; var acc01 = 0.0; var acc10 = 0.0; var acc11 = 0.0
+    var acc20 = 0.0; var acc21 = 0.0; var acc30 = 0.0; var acc31 = 0.0
+    val n1 = n & ~15
+    var t = 0
+    while (t < n1 / 2) {
+      val i = from + 2 * t
+      (t & 3) match {
+        case 0 => acc00 += arr(i); acc01 += arr(i + 1)
+        case 1 => acc10 += arr(i); acc11 += arr(i + 1)
+        case 2 => acc20 += arr(i); acc21 += arr(i + 1)
+        case 3 => acc30 += arr(i); acc31 += arr(i + 1)
+      }
+      t += 1
+    }
+    var off = from + n1
+    val r = n - n1
+    if ((r & 8) != 0) {
+      acc00 += arr(off); acc01 += arr(off + 1)
+      acc10 += arr(off + 2); acc11 += arr(off + 3)
+      acc20 += arr(off + 4); acc21 += arr(off + 5)
+      acc30 += arr(off + 6); acc31 += arr(off + 7)
+      off += 8
+    }
+    if ((r & 4) != 0) {
+      acc00 += arr(off); acc01 += arr(off + 1)
+      acc10 += arr(off + 2); acc11 += arr(off + 3)
+      off += 4
+    }
+    if ((r & 2) != 0) {
+      acc00 += arr(off); acc01 += arr(off + 1)
+      off += 2
+    }
+    if ((r & 1) != 0) acc00 += arr(off)
+    val c0 = (acc00 + acc10) + (acc20 + acc30)
+    val c1 = (acc01 + acc11) + (acc21 + acc31)
+    c0 + c1
   }
 
   /** Polynomial least-squares fit replicating numpy.polyfit exactly:

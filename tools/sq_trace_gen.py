@@ -45,7 +45,8 @@ def traced_cuboid(self, cuboid, indices, **params):
 Squeeze._locate_in_cuboid = traced_cuboid
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-CORPUS = os.path.join(HERE, "..", "src", "test", "resources", "gen_corpus")
+CORPUS = os.environ.get("SQ_TRACE_CORPUS",
+    os.path.join(HERE, "..", "src", "test", "resources", "gen_corpus"))
 file = sys.argv[1]
 df = pd.read_csv(os.path.join(CORPUS, file + ".csv"))
 attributes = [c for c in df.columns if c not in ("real", "predict")]
