@@ -132,11 +132,17 @@ object AutoRoot {
         // bitrate value) — not an exact tuple match. For layer 1 the two
         // coincide. The LF/CF counts above stay exact-tuple (groupbys in
         // the reference too).
+        // The probe side expands ONLY the cuboids that produced candidates
+        // (exactly the rows the set-match join can keep; the other cuboids
+        // paid the explode just to be discarded by the cid equality).
+        val candCids = cands.select("cid").distinct()
+          .collect().map(_.getInt(0)).sorted.toSeq
+        val explodedC = Cuboids.expandIds(withCluster, candCids.map(c => c -> cuboids(c)))
         val candSel = broadcast(cands.select(col("cid").as("jcid"), col("key").as("jkey"),
           array_distinct(col("key")).as("jset")))
         val setMatch = col("cb.cid") === col("jcid") &&
           graft.functions.ArraySubset.subsetOf(col("cb.key"), col("jset"))
-        val stats1 = exploded
+        val stats1 = explodedC
           .join(candSel, setMatch)
           .groupBy(col("jcid").as("cid"), col("jkey").as("key"))
           .agg(
@@ -146,7 +152,7 @@ object AutoRoot {
         val ratios = stats1.select(col("cid").as("rcid"), col("key").as("rkey"),
           array_distinct(col("key")).as("rset"),
           when(col("spred") =!= 0, col("sreal") / col("spred")).otherwise(0.0).as("ratio"))
-        val stats2 = exploded
+        val stats2 = explodedC
           .join(broadcast(ratios),
             col("cb.cid") === col("rcid") &&
               graft.functions.ArraySubset.subsetOf(col("cb.key"), col("rset")))

@@ -2,7 +2,7 @@ package graft.algorithms
 
 import graft.model.{Element, RootCause}
 import graft.operators.{Cuboids, Snapshots}
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -34,6 +34,36 @@ import org.apache.spark.storage.StorageLevel
   * mode, it is the many-small-instances mode.
   */
 object BatchAutoRoot {
+
+  // dev-only phase timing (GRAFT_AR_TRACE=1): stderr, never in results
+  private val trace = sys.env.get("GRAFT_AR_TRACE").contains("1")
+  private def timed[T](tag: => String)(body: => T): T =
+    if (!trace) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(f"[ar] $tag ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      r
+    }
+
+  /** Expansion restricted to candidate (instance, cuboid) PAIRS: each
+    * instance is expanded over exactly the cuboids that produced its own
+    * candidates. The per-row cost of a cuboid pass is dominated by
+    * key-array construction and hashing (measured at the 4.8M-row crossover
+    * cell: the bare explode is ~free), so the cross product candInstances x candCuboids
+    * would pay real CPU for cells the downstream joins must discard.
+    * Instances sharing a cuboid set share one union branch. */
+  private def expandPairs(base: DataFrame, inst: Column,
+      pairs: Seq[(String, Int)], cuboids: Seq[Seq[String]]): DataFrame = {
+    val byCuboidSet = pairs.groupBy(_._1).toSeq
+      .map { case (i, ps) => (ps.map(_._2).distinct.sorted, i) }
+      .groupBy(_._1).toSeq
+      .map { case (cids, es) => (cids, es.map(_._2).sorted) }
+      .sortBy(_._2.head)
+    byCuboidSet.map { case (cids, insts) =>
+      Cuboids.expandIds(base.filter(inst.isin(insts: _*)), cids.map(c => c -> cuboids(c)))
+    }.reduce(_ unionByName _)
+  }
 
   /** Whole-corpus AutoRoot: merged root causes per instance. */
   def run(df0: DataFrame, instanceCol: String, attributes: Seq[String],
@@ -67,10 +97,10 @@ object BatchAutoRoot {
           .filter(pmod(xxhash64(attributes.map(col): _*), col("__k")) === 0)
           .drop("__ki", "__k")
       else anomalous
-    val devRows = devSrc
+    val devRows = timed("devRows") { devSrc
       .groupBy(inst.as("__i"))
       .agg(graft.functions.VectorAgg.collectVector(col("deviation")).as("devs"))
-      .collect()
+      .collect() }
     if (devRows.isEmpty) { df.unpersist(); return empty }
     val boundaries: Map[String, Array[Double]] = devRows.map { r =>
       r.getString(0) -> AutoRoot.clusterBoundaries(r.getSeq[Double](1).sorted.toArray)
@@ -92,146 +122,202 @@ object BatchAutoRoot {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // per-(instance, cluster) sizes and per-instance totals, one pass each
-    val clusterSizes: Map[(String, Int), Long] = withCluster
+    val clusterSizes: Map[(String, Int), Long] = timed("clusterSizes") { withCluster
       .filter(col("cluster").isNotNull)
       .groupBy(inst.as("__i"), col("cluster")).agg(count(lit(1)).as("z"))
-      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
-    val totals: Map[String, (Long, Double)] = withCluster
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap }
+    val totals: Map[String, (Long, Double)] = timed("totals") { withCluster
       .groupBy(inst.as("__i")).agg(count(lit(1)), sum(AutoRoot.termB))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap }
 
     val sizeDf = broadcast(clusterSizes.toSeq.map { case ((i, k), z) => (i, k, z) }
       .toDF("__zi", "__zk", "__z"))
 
+    // the deviation frame is only an input to withCluster (cached above by
+    // the clusterSizes/totals passes) — release its cache before the layer
+    // passes instead of carrying two full corpus copies through them
+    df.unpersist()
+
     // instances with no anomalous rows (no boundaries entry) have
-    // cluster=null on every row and can produce no candidates — drop
-    // them before the per-layer expand so their rows are never shuffled
-    // (the BatchSqueeze active left_semi pattern)
-    val expandBase = withCluster.join(
-      broadcast(boundaries.keys.toSeq.toDF(instanceCol)), Seq(instanceCol), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // cluster=null on every row and can produce no candidates — drop them
+    // before the per-layer expand so their rows are never shuffled (the
+    // BatchSqueeze active left_semi pattern). When EVERY instance has
+    // boundaries (the common case) the semi join selects nothing and
+    // withCluster is used as-is — no third corpus-sized cache.
+    val expandBase =
+      if (boundaries.size == allInstances.size) withCluster
+      else withCluster.join(
+        broadcast(boundaries.keys.toSeq.toDF(instanceCol)), Seq(instanceCol), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
     // best candidate per (instance, cluster), across layers by avg score
     val best = collection.mutable.Map.empty[(String, Int), (Double, RootCause)]
 
-    // Layers are independent given the cluster assignment (each computes
-    // its own candidates and NPS stats off the shared cached base); only
-    // the best-split merge is order-sensitive ("strict >, earlier layer
-    // wins" on ties). So the per-layer Spark passes run on a bounded
-    // concurrent pool (graft.core.Concurrency: caps simultaneous
-    // persisted counts frames) and the driver-side merge applies their
-    // results sequentially in layer order below.
-    val layerResults = try graft.core.Concurrency.awaitAll(
-      (1 to attributes.size).map { layer => () => {
-      val cuboids = attributes.combinations(layer).toSeq
-      // NOT persisted: the explode is a narrow projection of a cached
-      // parent multiplied by the cuboid count; caching that blowup spills
-      // at H scale (block-manager eviction lock pileup, VERDICT r7) while
-      // recomputing it per consuming pass is map-side CPU only.
-      val exploded = Cuboids.expand(expandBase, cuboids)
+    type Cand = (String, Int, Seq[String], Int, Long, Long) // (__i, cid, key, k, x, y)
 
-      // y per (instance, element); x per (instance, element, cluster) —
-      // the long form of the single-instance x_k pivot (cluster ids are
-      // per-instance here, so a wide pivot would be ragged)
-      val counts = exploded
-        .groupBy(inst.as("__i"), col("cb.cid").as("cid"), col("cb.key").as("key"))
-        .agg(count(lit(1)).as("y")).persist(StorageLevel.MEMORY_AND_DISK)
-      // try/finally: a failing pass must not leave counts cached for the
-      // rest of the session (ADVICE r7)
-      try {
-      val xs = exploded.filter(col("cluster").isNotNull)
-        .groupBy(inst.as("__i"), col("cb.cid").as("cid"), col("cb.key").as("key"),
-          col("cluster").as("k"))
-        .agg(count(lit(1)).as("x"))
+    // ALL layers fused into at most four corpus passes (x, y, stats1,
+    // stats2). The reference always scans every layer, and the layers are
+    // independent given the cluster assignment, so their aggregations
+    // compose over one GLOBAL cuboid list (cid ordered by layer, then the
+    // layer's combination order); only the best-split merge is
+    // order-sensitive ("strict >, earlier layer wins" on ties) and that
+    // runs driver-side in layer order below. Fusing is the scale lever:
+    // the pass count — and with it the Spark job count — is CONSTANT in
+    // layers, instances, and rows, and every cache scan is paid once
+    // instead of once per layer. Expansions are NOT persisted: each
+    // explode is a narrow projection of the cached parent multiplied by
+    // its cuboid count; caching that blowup spills at H scale
+    // (block-manager eviction lock pileup, VERDICT r7).
+    val allCuboids: IndexedSeq[Seq[String]] =
+      (1 to attributes.size).flatMap(l => attributes.combinations(l)).toIndexedSeq
+    val lastCid = allCuboids.size - 1 // the single full-attribute cuboid
 
-      // candidate splits (LF and cluster-share thresholds,
-      // autoroot.py:110-123); the last-layer 1/z guard applies per
-      // (instance, cluster)
-      val lastLayer = layer == attributes.size
-      val candPairs = xs
-        .join(counts, Seq("__i", "cid", "key"))
-        .join(sizeDf, col("__i") === col("__zi") && col("k") === col("__zk"))
-        .filter(
-          (col("x") / col("__z") > opt.deltaThreshold) &&
-            (col("x").cast("double") / col("y") > opt.deltaThreshold) &&
-            (if (lastLayer) lit(1.0) / col("__z") > opt.deltaThreshold else lit(true)))
-        .select(col("__i"), col("cid"), col("key"), col("k"), col("x"), col("y"))
-        .collect()
-
-      val statRows: Map[(String, Int, Seq[String]), (Long, Double, Double)] =
-        if (candPairs.isEmpty) Map.empty
-        else {
-        // NPS statistics once per DISTINCT (instance, element) — value-set
-        // selection semantics as in AutoRoot.run (layer>=2 quirk)
-        val candKeys = candPairs.map(r => (r.getString(0), r.getInt(1), r.getSeq[String](2)))
-          .distinct.toSeq
-        val candSel = broadcast(candKeys.toDF("ji", "jcid", "jkey")
-          .withColumn("jset", array_distinct(col("jkey"))))
-        // Fan-out bound: the (instance, cid) equi-keys hash-partition the
-        // join; the native array_subset_of residual then matches each leaf
-        // against every candidate of its (instance, cuboid) — worst case
-        // |leaves| x |candidates| intermediate rows within one cuboid.
-        // This value-SET selection (a leaf joins a candidate when its key
-        // values are a subset of the candidate's value set) is the
-        // reference's own semantics for layer>=2 splits (autoroot.py:
-        // 125-129 via attribute_combination value matching), so the
-        // fan-out is inherent, not a plan miss. Candidates per cuboid are
-        // already threshold-filtered (LF/CF > deltaThreshold) which keeps
-        // the candidate side small; for pathologically skewed cuboids the
-        // mitigation is tightening deltaThreshold, not a different join.
-        val setMatch = inst === col("ji") && col("cb.cid") === col("jcid") &&
-          graft.functions.ArraySubset.subsetOf(col("cb.key"), col("jset"))
-        val stats1 = exploded
-          .join(candSel, setMatch)
-          .groupBy(col("ji").as("__i"), col("jcid").as("cid"), col("jkey").as("key"))
-          .agg(
-            count(lit(1)).as("n_sel"),
-            sum("real").as("sreal"), sum("predict").as("spred"),
-            sum(AutoRoot.termB).as("sum_b"))
-        val ratios = stats1.select(col("__i").as("ri"), col("cid").as("rcid"),
-          col("key").as("rkey"), array_distinct(col("key")).as("rset"),
-          when(col("spred") =!= 0, col("sreal") / col("spred")).otherwise(0.0).as("ratio"))
-        val stats2 = exploded
-          .join(broadcast(ratios),
-            inst === col("ri") && col("cb.cid") === col("rcid") &&
-              graft.functions.ArraySubset.subsetOf(col("cb.key"), col("rset")))
-          .withColumn("a_row", col("predict") * col("ratio"))
-          .withColumn("term_a",
-            when(col("real") === 0, 0.0).otherwise(abs(col("real") - col("a_row")) / col("real")))
-          .groupBy(col("ri").as("__i"), col("rcid").as("cid"), col("rkey").as("key"))
-          .agg(avg("term_a").as("a"))
-
-        stats1.join(stats2, Seq("__i", "cid", "key"))
-          .select(col("__i"), col("cid"), col("key"), col("n_sel"), col("sum_b"), col("a"))
+    val (candPairs, statRows) = try {
+      // x per (instance, element, cluster) over ANOMALOUS rows only — the
+      // cluster filter is applied BEFORE the explode (it commutes: cluster
+      // does not depend on cb), so this pass multiplies just the anomalous
+      // slice, never the full corpus. Pre-filtered by the x/z threshold
+      // (autoroot.py:110-123), which bounds the collect by construction:
+      // per (instance, cluster, cuboid) the x counts sum to z, so at most
+      // floor(1/deltaThreshold) elements can pass x/z > deltaThreshold —
+      // <= 10 * clusters * cuboids * instances rows at the default
+      // threshold, independent of per-instance row count.
+      val xsAll: Array[(String, Int, Seq[String], Int, Long)] = timed("xs") {
+        Cuboids.expand(expandBase.filter(col("cluster").isNotNull), allCuboids)
+          .groupBy(inst.as("__i"), col("cb.cid").as("cid"), col("cb.key").as("key"),
+            col("cluster").as("k"))
+          .agg(count(lit(1)).as("x"))
+          .join(sizeDf, col("__i") === col("__zi") && col("k") === col("__zk"))
+          .filter(col("x") / col("__z") > opt.deltaThreshold)
+          .select(col("__i"), col("cid"), col("key"), col("k"), col("x"))
           .collect()
-          .map(r => (r.getString(0), r.getInt(1), r.getSeq[String](2)) ->
-            (r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+          .map(r => (r.getString(0), r.getInt(1), r.getSeq[String](2), r.getInt(3), r.getLong(4)))
+      }
+      // the last layer's extra 1/z guard (autoroot.py last-layer rule) —
+      // same conjunction as the reference, applied driver-side
+      val xsRows = xsAll.filter { case (i, cid, _, k, _) =>
+        cid != lastCid || 1.0 / clusterSizes((i, k)) > opt.deltaThreshold }
+
+      if (xsRows.isEmpty)
+        (Array.empty[Cand], Map.empty[(String, Int, Seq[String]), (Long, Double, Double)])
+      else {
+        // y (rows selecting the element, any cluster or none) only for the
+        // x/z-passing elements: a broadcast exact-tuple probe replaces the
+        // corpus-wide per-element aggregate, and the probe side expands
+        // ONLY the (instance, cuboid) pairs that produced x/z-passing
+        // elements — everything else could only be discarded by the join.
+        // The per-row cost of a cuboid pass is dominated by building and
+        // hashing the key array (the bare explode is ~free), so shrinking
+        // the expanded set is the lever that matters.
+        val yKeys = xsRows.map(t => (t._1, t._2, t._3)).distinct.toSeq
+        val yMap: Map[(String, Int, Seq[String]), Long] = timed(s"y(${yKeys.size})") {
+          expandPairs(expandBase, inst, yKeys.map(t => (t._1, t._2)).distinct, allCuboids)
+            .select(inst.as("__i"), col("cb.cid").as("cid"), col("cb.key").as("key"))
+            .join(broadcast(yKeys.toDF("__i", "cid", "key")), Seq("__i", "cid", "key"))
+            .groupBy("__i", "cid", "key").agg(count(lit(1)).as("y"))
+            .collect()
+            .map(r => (r.getString(0), r.getInt(1), r.getSeq[String](2)) -> r.getLong(3)).toMap
         }
-      (layer, cuboids, candPairs, statRows)
-      } finally counts.unpersist()
-      } })
-    catch { case e: Throwable =>
-      // failing layer pass: drop the session-wide cached frames too
-      expandBase.unpersist(); withCluster.unpersist(); df.unpersist(); throw e }
+
+        // candidate splits = x/z AND x/y thresholds (+ last-layer 1/z
+        // guard, already applied above) — the reference's conjunction
+        val cands: Array[Cand] = xsRows.flatMap { case (i, cid, key, k, x) =>
+          val y = yMap((i, cid, key))
+          if (x.toDouble / y > opt.deltaThreshold) Some((i, cid, key, k, x, y)) else None
+        }
+
+        val stats: Map[(String, Int, Seq[String]), (Long, Double, Double)] =
+          if (cands.isEmpty) Map.empty
+          else timed(s"stats(${cands.length})") {
+            // NPS statistics once per DISTINCT (instance, element) —
+            // value-set selection semantics as in AutoRoot.run (layer>=2
+            // quirk). The probe side expands ONLY candidate (instance,
+            // cuboid) pairs.
+            val candKeys = cands.map(t => (t._1, t._2, t._3)).distinct.toSeq
+            val explodedC = expandPairs(expandBase, inst,
+              candKeys.map(t => (t._1, t._2)).distinct, allCuboids)
+            val candSel = broadcast(candKeys.toDF("ji", "jcid", "jkey")
+              .withColumn("jset", array_distinct(col("jkey"))))
+            // Fan-out bound: the (instance, cid) equi-keys hash-partition
+            // the join; the native array_subset_of residual then matches
+            // each leaf against every candidate of its (instance, cuboid)
+            // — worst case |leaves| x |candidates| intermediate rows within
+            // one cuboid. This value-SET selection (a leaf joins a
+            // candidate when its key values are a subset of the
+            // candidate's value set) is the reference's own semantics for
+            // layer>=2 splits (autoroot.py:125-129 via
+            // attribute_combination value matching), so the fan-out is
+            // inherent, not a plan miss. Candidates are already
+            // threshold-filtered (LF/CF > deltaThreshold), which keeps the
+            // candidate side small; for pathologically skewed cuboids the
+            // mitigation is tightening deltaThreshold, not another join.
+            val setMatch = inst === col("ji") && col("cb.cid") === col("jcid") &&
+              graft.functions.ArraySubset.subsetOf(col("cb.key"), col("jset"))
+            // stats1 is one row per candidate — collect it ONCE and feed
+            // the second pass literal ratios, instead of leaving stats1 in
+            // the plan (where the ratio broadcast and a final join would
+            // each recompute the whole first-pass expansion)
+            val stats1Rows = explodedC
+              .join(candSel, setMatch)
+              .groupBy(col("ji").as("__i"), col("jcid").as("cid"), col("jkey").as("key"))
+              .agg(
+                count(lit(1)).as("n_sel"),
+                sum("real").as("sreal"), sum("predict").as("spred"),
+                sum(AutoRoot.termB).as("sum_b"))
+              .collect()
+              .map(r => (r.getString(0), r.getInt(1), r.getSeq[String](2),
+                r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+            val stats1Map = stats1Rows
+              .map { case (i, cid, key, nSel, _, _, sumB) => (i, cid, key) -> (nSel, sumB) }
+              .toMap
+            val ratiosLit = broadcast(stats1Rows.toSeq
+              .map { case (i, cid, key, _, sreal, spred, _) =>
+                (i, cid, key, key.distinct, if (spred != 0.0) sreal / spred else 0.0)
+              }.toDF("ri", "rcid", "rkey", "rset", "ratio"))
+            val stats2 = explodedC
+              .join(ratiosLit,
+                inst === col("ri") && col("cb.cid") === col("rcid") &&
+                  graft.functions.ArraySubset.subsetOf(col("cb.key"), col("rset")))
+              .withColumn("a_row", col("predict") * col("ratio"))
+              .withColumn("term_a",
+                when(col("real") === 0, 0.0)
+                  .otherwise(abs(col("real") - col("a_row")) / col("real")))
+              .groupBy(col("ri").as("__i"), col("rcid").as("cid"), col("rkey").as("key"))
+              .agg(avg("term_a").as("a"))
+              .collect()
+
+            stats2.map { r =>
+              val key = (r.getString(0), r.getInt(1), r.getSeq[String](2))
+              val (nSel, sumB) = stats1Map(key)
+              key -> (nSel, sumB, r.getDouble(3))
+            }.toMap
+          }
+        (cands, stats)
+      }
+    } catch { case e: Throwable =>
+      // failing pass: drop the session-wide cached frames too
+      if (!(expandBase eq withCluster)) expandBase.unpersist()
+      withCluster.unpersist(); throw e }
 
     // driver-side merge, sequential in layer order (earlier layer wins
-    // avg-score ties via strict >)
-    for ((layer, cuboids, candPairs, statRows) <- layerResults
-         if candPairs.nonEmpty) {
+    // avg-score ties via strict >). Global cids are ordered by (layer,
+    // within-layer combination index), so sorting by cid inside a layer
+    // preserves the single-instance cuboid order exactly.
+    for ((layer, layerCands) <- candPairs.groupBy(t => allCuboids(t._2).size)
+         .toSeq.sortBy(_._1)) {
         // driver: per (instance, cluster), per cuboid -> best-NPS split;
         // across cuboids and layers -> best avg (strict >, earlier wins)
-        val byPair = candPairs.groupBy(r => (r.getString(0), r.getInt(3)))
+        val byPair = layerCands.groupBy(t => (t._1, t._4))
         for (((i, k), rows) <- byPair) {
           val z = clusterSizes((i, k)).toDouble
           val (nTotal, tTermB) = totals(i)
-          val byCuboid = rows.groupBy(_.getInt(1))
+          val byCuboid = rows.groupBy(_._2)
           for ((cid, rs) <- byCuboid.toSeq.sortBy(_._1)) {
-            val ordered = rs.sortBy(_.getSeq[String](2).mkString(graft.core.Canonical.NulSep))
+            val ordered = rs.sortBy(_._3.mkString(graft.core.Canonical.NulSep))
             var bestNps = -1.0
-            var bestRow: Row = null
+            var bestRow: Cand = null
             for (r <- ordered) {
-              val key = r.getSeq[String](2)
-              val (nSelL, sumB, a) = statRows((i, cid, key))
+              val (nSelL, sumB, a) = statRows((i, cid, r._3))
               val nSel = nSelL.toDouble
               val b = sumB / nSel
               val c = if (nTotal == nSelL) Double.NaN
@@ -240,15 +326,15 @@ object BatchAutoRoot {
               if (nps > bestNps) { bestNps = nps; bestRow = r }
             }
             if (bestRow != null) {
-              val x = bestRow.getLong(4).toDouble
-              val lf = x / bestRow.getLong(5)
+              val x = bestRow._5.toDouble
+              val lf = x / bestRow._6
               val cf = x / z
               val avgScore = (bestNps + lf + cf) / 3.0
               val cur = best.get((i, k)).map(_._1).getOrElse(-1.0)
               if (avgScore > cur) {
-                val cuboid = cuboids(cid)
+                val cuboid = allCuboids(cid)
                 best((i, k)) = (avgScore, RootCause(
-                  Seq(Element(cuboid, bestRow.getSeq[String](2))),
+                  Seq(Element(cuboid, bestRow._3)),
                   cuboid, layer,
                   Map("nps" -> bestNps, "lf" -> lf, "cf" -> cf, "avg" -> avgScore)))
               }
@@ -257,7 +343,8 @@ object BatchAutoRoot {
         }
     }
 
-    expandBase.unpersist(); withCluster.unpersist(); df.unpersist()
+    if (!(expandBase eq withCluster)) expandBase.unpersist()
+    withCluster.unpersist()
     val merged = best.toSeq
       .groupBy(_._1._1)
       .map { case (i, entries) =>

@@ -152,7 +152,15 @@ object PipelineQueries {
         .orderBy("query_id")
     },
 
-    GateQuery.rowsOnly("q57_minhash_lsh") { (s, dir) =>
+    GateQuery("q57_minhash_lsh",
+      // full pipeline re-derived in DuckDB SQL: xxHash64 macro chain (as in
+      // q58) over the 2-word shingles AND over the band strings, the 64
+      // affine permutations as literal (a, b) pairs (the deterministic
+      // java.util.Random stream, like q62's literal profiles) with
+      // HUGEINT 2^64 wrap + Java-% mod 2^61-1, band bucketing, and the
+      // exact-Jaccard verification — the oracle replicates the BANDING
+      // (probabilistic recall and all), not just the threshold
+      GateQuery.oracleResource("q57_minhash_lsh.sql")) { (s, dir) =>
       // 16 bands x 4 rows: LSH s-curve threshold ~ (1/16)^(1/4) ~ 0.5 —
       // banding matched to the verify threshold keeps candidate volume
       // near-linear in the true near-dup count

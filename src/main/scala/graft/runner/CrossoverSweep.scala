@@ -112,6 +112,58 @@ object CrossoverSweep {
             val eq = instances.forall(id =>
               batch.getOrElse(id, Seq.empty).sorted == seq(id).sorted)
             (b, s, eq, batch.values.map(_.size).sum)
+          case "adtributor" =>
+            val t0 = System.nanoTime()
+            val rows = BatchAdtributor.run(corpus, "instance_id", attrs).collect()
+            val b = (System.nanoTime() - t0) / 1e9
+            val byId = rows.groupBy(_.getString(0)).map { case (id, rs) =>
+              id -> rs.sortBy(_.getInt(rs.head.fieldIndex("rank")))
+                .map(r => (r.getString(1), r.getSeq[String](2).toSeq)).toSeq
+            }
+            val t1 = System.nanoTime()
+            val seq = graft.core.Concurrency.awaitAll(
+              instances.map(id => () => id -> Adtributor.run(seqFrame(id), attrs)
+                .map(c => (c.dimension, c.elements))),
+              maxConcurrent = nThreads).toMap
+            val s = (System.nanoTime() - t1) / 1e9
+            val eq = instances.forall(id => byId.getOrElse(id, Seq.empty) == seq(id))
+            (b, s, eq, rows.length)
+          case "robustspot" =>
+            val opt = RobustSpot.Options(k = 3, derived = false)
+            val t0 = System.nanoTime()
+            val batch = BatchRobustSpot.run(corpus, "instance_id", attrs, opt)
+            val b = (System.nanoTime() - t0) / 1e9
+            val t1 = System.nanoTime()
+            val seq = graft.core.Concurrency.awaitAll(
+              instances.map(id => () => id -> RobustSpot.run(seqFrame(id), attrs, opt)),
+              maxConcurrent = nThreads).toMap
+            val s = (System.nanoTime() - t1) / 1e9
+            val eq = instances.forall(id => batch.getOrElse(id, Seq.empty) == seq(id))
+            (b, s, eq, batch.values.map(_.size).sum)
+          case "hotspot" =>
+            val t0 = System.nanoTime()
+            val batch = BatchHotSpot.run(corpus, "instance_id", attrs)
+            val b = (System.nanoTime() - t0) / 1e9
+            val t1 = System.nanoTime()
+            val seq = graft.core.Concurrency.awaitAll(
+              instances.map(id => () => id -> HotSpot.run(seqFrame(id), attrs)),
+              maxConcurrent = nThreads).toMap
+            val s = (System.nanoTime() - t1) / 1e9
+            val eq = instances.forall(id => batch.get(id).contains(seq(id)))
+            (b, s, eq, batch.size)
+          case "revrec" =>
+            val t0 = System.nanoTime()
+            val batch = BatchRevRecAdtributor.run(corpus, "instance_id", attrs)
+            val b = (System.nanoTime() - t0) / 1e9
+            val t1 = System.nanoTime()
+            val seq = graft.core.Concurrency.awaitAll(
+              instances.map(id => () => id -> RevRecAdtributor.run(seqFrame(id), attrs)),
+              maxConcurrent = nThreads).toMap
+            val s = (System.nanoTime() - t1) / 1e9
+            val eq = instances.forall(id =>
+              RevRecAdtributor.predictions(batch.getOrElse(id, Seq.empty)).sorted ==
+                RevRecAdtributor.predictions(seq(id)).sorted)
+            (b, s, eq, batch.values.map(_.size).sum)
           case other => throw new IllegalArgumentException(s"unsupported: $other")
         }
         val r = CellResult(algo, rowsPerInst, n, batchSec, seqSec, equal, causes)

@@ -103,7 +103,11 @@ object Runner {
   }
 
   /** On-disk bytes of an instance's source file(s) — the cheap proxy used
-    * to pick the largest instance for the auto-dispatch row count. */
+    * to pick the largest instance for the auto-dispatch row count. Caveat:
+    * the proxy assumes instances share a storage format — a ref set mixing
+    * compressed and uncompressed sources could mis-rank (all shipped CSV
+    * ref sets are uniform; the parquet `--corpus` path counts real rows
+    * per instance instead and never uses this). */
   private def instanceBytes(dataRoot: String,
       ref: InstanceSource.InstanceRef): Long = {
     val dir = ref.dir(dataRoot)

@@ -1,6 +1,6 @@
 package graft.runner
 
-import graft.algorithms.Adtributor
+import graft.algorithms.{Adtributor, RiskLoc}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
   * unbounded stream. StreamLocalizeSpec pins window-prediction parity at
   * toy size on every test run.
   *
-  * Usage: StreamLocalize [dimsSpec] [minutes] [spikeEvery] [outMd]
+  * Usage: StreamLocalize [dimsSpec] [minutes] [spikeEvery] [outMd] [algo]
   */
 object StreamLocalize {
 
@@ -64,13 +64,24 @@ object StreamLocalize {
       .select(("ts" +: dims.map(_._1) :+ "value" :+ "cnt").map(col): _*)
   }
 
-  def localizeSnapshot(snapshot: DataFrame, attrs: Seq[String]): Seq[String] =
-    Adtributor.predictions(Adtributor.run(
-      snapshot, attrs, Adtributor.Options(derived = true)))
+  /** Per-window localization: `adtributor` (derived mode, single-pass — the
+    * cheapest end-to-end proof) or `riskloc` (the remove-and-repeat
+    * iterative loop on the real/predict measures — multiple Spark jobs per
+    * window, proving the foreachBatch leg holds latency for iterative
+    * algorithms too). */
+  def localizeSnapshot(snapshot: DataFrame, attrs: Seq[String],
+      algo: String = "adtributor"): Seq[String] = algo match {
+    case "adtributor" =>
+      Adtributor.predictions(Adtributor.run(
+        snapshot, attrs, Adtributor.Options(derived = true)))
+    case "riskloc" =>
+      RiskLoc.predictions(RiskLoc.run(snapshot, attrs))
+    case other => throw new IllegalArgumentException(s"unsupported algo: $other")
+  }
 
   def run(spark: SparkSession, dims: Seq[(String, Int)], minutes: Int,
       spikeEvery: Int, periods: Int = 4,
-      filesPerMinute: Int = 4): (Seq[WindowResult], Double, Long) = {
+      filesPerMinute: Int = 4, algo: String = "adtributor"): (Seq[WindowResult], Double, Long) = {
     val attrs = dims.map(_._1)
     val base = 1700000040L
     val work = java.nio.file.Files.createTempDirectory("graft_stream_loc").toString
@@ -103,7 +114,7 @@ object StreamLocalize {
           ms.foreach { m =>
             val w0 = System.nanoTime()
             val preds = localizeSnapshot(
-              batch.filter(col("snapshot_minute") === m).drop("snapshot_minute"), attrs)
+              batch.filter(col("snapshot_minute") === m).drop("snapshot_minute"), attrs, algo)
             results.add((m, preds, (System.nanoTime() - w0) / 1e9))
           }
         } finally batch.unpersist()
@@ -121,7 +132,7 @@ object StreamLocalize {
     val windowResults = results.toArray(Array.empty[(Long, Seq[String], Double)])
       .toSeq.sortBy(_._1).map { case (m, streamPreds, lat) =>
         val bp = localizeSnapshot(
-          staticSnaps.filter(col("snapshot_minute") === m).drop("snapshot_minute"), attrs)
+          staticSnaps.filter(col("snapshot_minute") === m).drop("snapshot_minute"), attrs, algo)
         WindowResult(m, streamPreds, bp, lat)
       }
     staticSnaps.unpersist()
@@ -141,11 +152,12 @@ object StreamLocalize {
     val minutes = args.lift(1).map(_.toInt).getOrElse(96)
     val spikeEvery = args.lift(2).map(_.toInt).getOrElse(8)
     val outMd = args.lift(3).getOrElse("STREAM_LOCALIZE.md")
+    val algo = args.lift(4).getOrElse("adtributor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = graft.core.Sessions.local(cpus, "64", "graft-stream-localize")
     spark.sparkContext.setLogLevel("WARN")
 
-    val (windows, wall, inputRows) = run(spark, dims, minutes, spikeEvery)
+    val (windows, wall, inputRows) = run(spark, dims, minutes, spikeEvery, algo = algo)
     val okCount = windows.count(_.ok)
     val withCause = windows.count(_.streamPreds.nonEmpty)
     val lats = windows.map(_.latencySec).sorted
@@ -156,7 +168,9 @@ object StreamLocalize {
     md ++= s"Input: ${dims.map { case (n, c) => s"$n:$c" }.mkString(", ")} = "
     md ++= s"${dims.map(_._2.toLong).product} leaves x $minutes minutes = $inputRows raw rows, "
     md ++= "replayed minute-by-minute through `StreamingForecast.anomalySnapshots` "
-    md ++= "(sliding 5-minute windows, 2-minute watermark), with Adtributor (derived mode) "
+    md ++= s"(sliding 5-minute windows, 2-minute watermark), with ${
+      if (algo == "riskloc") "RiskLoc (iterative remove-and-repeat loop)"
+      else "Adtributor (derived mode)"} "
     md ++= "run per completed window inside `foreachBatch` "
     md ++= s"(anomaly on a rotating layer-1 element every $spikeEvery minutes).\n\n"
     md ++= "Per-window verification: the batch engine's Adtributor on the batch-computed\n"

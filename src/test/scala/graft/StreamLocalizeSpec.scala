@@ -27,4 +27,14 @@ class StreamLocalizeSpec extends AnyFunSuite {
     // the rotating layer-1 spike must be localized in at least one window
     assert(windows.exists(_.streamPreds.nonEmpty), "no window found any cause")
   }
+
+  test("per-window stream localization with iterative riskloc matches batch engine") {
+    val (windows, _, _) = StreamLocalize.run(spark,
+      dims = Seq("a" -> 4, "b" -> 3), minutes = 16, spikeEvery = 4,
+      filesPerMinute = 2, algo = "riskloc")
+    assert(windows.nonEmpty)
+    val bad = windows.filterNot(_.ok)
+    assert(bad.isEmpty, s"stream != batch on minutes ${bad.map(_.minute)}")
+    assert(windows.exists(_.streamPreds.nonEmpty), "no window found any cause")
+  }
 }
