@@ -114,12 +114,17 @@ object BatchRobustSpot {
             r.getString(0) -> Sums(s(0), s(1), order.length.toLong, s(2), s(3), s(4), s(5))
           }.toMap
         } else {
+          // exact_sum: order-independent global sums, bitwise equal to the
+          // sequential path's on any partitioning (RobustSpot.globalSums
+          // has the full rationale — the ID/CA screens amplify ULPs)
+          import graft.functions.ExactSumAgg.exactSum
+          def es(c: String) = exactSum(when(isnan(col(c)), lit(null)).otherwise(col(c)))
           val r = frame.groupBy(inst.as("__i")).agg(
-            nanSkippingSum("k_predict"), nanSkippingSum("k_real"), count(lit(1)),
-            nanSkippingSum("value_predict"), nanSkippingSum("value_real"),
-            nanSkippingSum("cnt_predict"), nanSkippingSum("cnt_real")).collect()
+            es("k_predict"), es("k_real"), count(lit(1)),
+            es("value_predict"), es("value_real"),
+            es("cnt_predict"), es("cnt_real")).collect()
           r.map { row =>
-            def d(i: Int) = if (row.isNullAt(i)) 0.0 else row.getDouble(i)
+            def d(i: Int) = graft.kernels.ExactSum.valueOfBytes(row.getAs[Array[Byte]](i))
             row.getString(0) -> Sums(d(1), d(2), row.getLong(3), d(4), d(5), d(6), d(7))
           }.toMap
         }

@@ -92,11 +92,8 @@ object RobustSpot {
   private[algorithms] final case class Sums(kF: Double, kV: Double, n: Long,
       mF: Double, mV: Double, dF: Double, dV: Double)
 
-  /** pandas `.sum()` skips NaN (skipna=True); Spark's `sum` propagates it.
-    * The k columns carry NaN for 0/0 leaves (no-history forecasts), so the
-    * global sums must null NaN out first to match the reference. */
-  private[algorithms] def nanSkippingSum(c: String) =
-    sum(when(isnan(col(c)), lit(null)).otherwise(col(c)))
+  // (pandas `.sum()` skips NaN — skipna=True — while Spark's propagates
+  // it, so the global sums below null NaN out before aggregating)
 
   private def globalSums(df: DataFrame): Sums =
     if (df.columns.contains("__row")) {
@@ -113,11 +110,19 @@ object RobustSpot {
       def s(i: Int) = graft.kernels.NumpySum.nanSum(vec(i))
       Sums(s(1), s(2), rows.length.toLong, s(3), s(4), s(5), s(6))
     } else {
+      // exact_sum: the six global sums feed ID/CA whose > screens amplify a
+      // ULP into different survivors — a Spark `sum`'s combine order varies
+      // with partitioning, so batch and sequential (and two runs of the
+      // same mode) could disagree. The superaccumulator result is a
+      // function of the value multiset alone (the squeeze tie fix, r9:
+      // the 4.8M crossover cell caught robustspot rank swaps from this).
+      import graft.functions.ExactSumAgg.exactSum
+      def es(c: String) = exactSum(when(isnan(col(c)), lit(null)).otherwise(col(c)))
       val r = df.agg(
-        nanSkippingSum("k_predict"), nanSkippingSum("k_real"), count(lit(1)),
-        nanSkippingSum("value_predict"), nanSkippingSum("value_real"),
-        nanSkippingSum("cnt_predict"), nanSkippingSum("cnt_real")).collect()(0)
-      def d(i: Int) = if (r.isNullAt(i)) 0.0 else r.getDouble(i)
+        es("k_predict"), es("k_real"), count(lit(1)),
+        es("value_predict"), es("value_real"),
+        es("cnt_predict"), es("cnt_real")).collect()(0)
+      def d(i: Int) = graft.kernels.ExactSum.valueOfBytes(r.getAs[Array[Byte]](i))
       Sums(d(0), d(1), r.getLong(2), d(3), d(4), d(5), d(6))
     }
 
@@ -207,8 +212,17 @@ object RobustSpot {
             val n = positives.count()
             if (n > opt.idSampleCap) opt.idSampleCap.toDouble / n else 1.0
           }
+        // deterministic leaf-hash thinning, the SAME rule BatchRobustSpot
+        // applies per instance — a Bernoulli sample() here would pick
+        // different survivors per partitioning and diverge from the batch
+        // path whenever the cap engages (r9: 4.8M crossover cell)
         val sampled =
-          if (frac < 1.0) positives.sample(frac, seed = 42L) else positives
+          if (frac >= 1.0) positives
+          else {
+            val M = 1L << 20
+            positives.filter(
+              pmod(xxhash64(attrs.map(col): _*), lit(M)) < lit(frac) * M)
+          }
         graft.functions.VectorAgg.collectToDriver(sampled, col("ID")).sorted
       }
     val threshold = idThreshold(ids)
