@@ -19,19 +19,18 @@ import org.apache.spark.storage.StorageLevel
   * NPS statistic passes over value-set-matched selections), corpus-wide.
   *
   * Unlike RiskLoc/Squeeze there is no early exit — the reference always
-  * scans every layer — so the batch loop is exactly `#attributes`
-  * rounds. Per-instance results are pinned equal to [[AutoRoot.run]] by
+  * scans every layer — and since the layers are also independent, ALL of
+  * them fuse into at most four corpus passes (see the fused section in
+  * [[run]]). Per-instance results are pinned equal to [[AutoRoot.run]] by
   * BatchAutoRootSpec.
   *
-  * DISPATCH (measured, round 8): this whole-corpus DAG wins when
-  * instances are small and many — scheduling-dominated corpora like RS
-  * (4-9x over sequential, RS_SWEEP_BATCH.md) — and LOSES to the
-  * concurrent per-instance sequential path once rows/instance outgrow
-  * Runner.BatchCrossoverRows, because every corpus-wide pass carries the
-  * big instances' rows (H_SCALE.md: sequential wins 1.7-6x at 24M
-  * rows/instance). Runner's default `--mode auto` picks per corpus from
-  * the CROSSOVER.md-measured threshold; batch is NOT the universal scale
-  * mode, it is the many-small-instances mode.
+  * DISPATCH (measured, round 9): the fused DAG wins 1.6-6.6x over the
+  * concurrent per-instance sequential path at every measured shape
+  * through 480k rows/instance (and 4-9x on the RS corpus,
+  * RS_SWEEP_BATCH.md), is par at 4.8M, and loses ~1.3x at the 24M H
+  * shape (H_SCALE.md r9: fused batch 256s vs ~195s for 4 concurrent
+  * sequential runs). Runner's default `--mode auto` dispatches from the
+  * CROSSOVER.md-measured 4.8M threshold.
   */
 object BatchAutoRoot {
 

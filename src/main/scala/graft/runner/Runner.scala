@@ -51,21 +51,30 @@ object Runner {
     * variable; instance count mostly rescales both sides equally (the
     * sequential path runs instances concurrently).
     *
-    * Per-algorithm thresholds: riskloc's layer-capped deep pass keeps its
-    * batch DAG winning at EVERY measured multi-instance shape — 2.2-13x
-    * at 48k rows/instance, 1.4-3.5x at 480k, 2.8x at 4.8M, and 4.3x at
-    * the full 24M H shape (batch 342s vs 1466s for 4 concurrent
-    * sequential runs; H_SCALE.md round-8) — so riskloc has no measured
-    * crossover and always batches (n > 1). autoroot's batch edge is gone
-    * by 480k (par) and inverted 5x at 4.8M. Algorithms without measured
-    * mid-grid cells (squeeze, adtributor, hotspot, robustspot) inherit
-    * the conservative default: all lose batch-vs-sequential by 6-15x at
-    * the 24M H shape (H_SCALE.md r7), and their DAG structure (layer/
-    * round expand passes) matches autoroot's more than riskloc's. */
+    * Per-algorithm thresholds — every one traceable to measured
+    * CROSSOVER.md round-9 cells (48k/480k/4.8M rows/instance at 4 and 16
+    * instances, both modes timed as this runner executes them, prediction
+    * equality asserted per cell) plus the round-9 quiet H_SCALE.md 24M
+    * endpoints:
+    *  - riskloc: no crossover — the layer-capped batch DAG wins every
+    *    measured multi-instance shape (2.2-13x at 48k, 1.4-3.5x at 480k,
+    *    2.8x at 4.8M, 4.2x at 24M), so it always batches for n > 1;
+    *  - autoroot: 4.8M — the r9 fused four-pass DAG wins 1.6-6.6x through
+    *    480k, is par at 4.8M, loses ~1.3x at 24M;
+    *  - robustspot: 1.5M — batch 1.2-7.2x through 480k, sequential 2.2x
+    *    at 4.8M (geometric midpoint of the bracketing cells);
+    *  - adtributor, hotspot: 10M — batch or par at every cell through
+    *    4.8M (4.8x and 1.4x there), sequential at the 24M endpoint;
+    *  - squeeze: the 400k default — sequential from 480k up and ~3x at
+    *    24M (the lone batch-favoring 4.8M cell is an anomaly both
+    *    neighbors contradict; CROSSOVER.md discusses). */
   val BatchCrossoverRows: Long = 400000L
   val BatchCrossoverByAlgo: Map[String, Long] = Map(
     "riskloc" -> Long.MaxValue,
-    "autoroot" -> 400000L)
+    "autoroot" -> 4800000L,
+    "robustspot" -> 1500000L,
+    "adtributor" -> 10000000L,
+    "hotspot" -> 10000000L)
 
   /** Auto-dispatch rule (see [[BatchCrossoverRows]]). Uses the LARGEST
     * instance, not the average: the batch DAG's corpus-wide passes are

@@ -25,9 +25,20 @@ class DispatchSpec extends AnyFunSuite {
     assert(Runner.chooseMode("squeeze", t, 100) == "sequential") // at the default threshold
     assert(Runner.chooseMode("squeeze", t - 1, 100) == "batch") // just below
     // riskloc's layer-capped batch DAG wins at every measured shape
-    // including 24M x 4 (H_SCALE.md round-8: 342s vs 1466s) — no crossover
+    // including 24M x 4 (H_SCALE.md: 347s vs 1466s) — no crossover
     assert(Runner.chooseMode("riskloc", 480000, 16) == "batch")
     assert(Runner.chooseMode("riskloc", 24000000, 100) == "batch")
+    // round-9 measured thresholds (CROSSOVER.md): the fused autoroot DAG
+    // batches through 4.8M-row instances; robustspot flips at 1.5M;
+    // adtributor/hotspot batch through 4.8M and flip before 24M
+    assert(Runner.chooseMode("autoroot", 4800000 - 1, 4) == "batch")
+    assert(Runner.chooseMode("autoroot", 4800000, 4) == "sequential")
+    assert(Runner.chooseMode("robustspot", 480000, 16) == "batch")
+    assert(Runner.chooseMode("robustspot", 4800000, 4) == "sequential")
+    assert(Runner.chooseMode("adtributor", 4800000, 4) == "batch")
+    assert(Runner.chooseMode("adtributor", 24000000, 4) == "sequential")
+    assert(Runner.chooseMode("hotspot", 4800000, 4) == "batch")
+    assert(Runner.chooseMode("hotspot", 24000000, 4) == "sequential")
     assert(Runner.chooseMode("adtributor", 100, 1) == "sequential") // nothing to amortize
   }
 
