@@ -215,7 +215,13 @@ object RobustSpot {
         // deterministic leaf-hash thinning, the SAME rule BatchRobustSpot
         // applies per instance — a Bernoulli sample() here would pick
         // different survivors per partitioning and diverge from the batch
-        // path whenever the cap engages (r9: 4.8M crossover cell)
+        // path whenever the cap engages (r9: 4.8M crossover cell).
+        // Assumption: positive-ID rows are one row per distinct leaf
+        // tuple, which holds for every input this path sees (snapshots
+        // are leaf-grained; expansion replication happens downstream of
+        // the knee). If rows ever shared attr tuples, hashing on attrs
+        // would keep/drop whole tuples together and the effective knee
+        // input could deviate from idSampleCap.
         val sampled =
           if (frac >= 1.0) positives
           else {

@@ -223,7 +223,12 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
-    GateQuery.rowsOnly("q60_lsh_ann") { (s, dir) =>
+    GateQuery("q60_lsh_ann",
+      // the 48 hyperplanes re-derived in SQL (splitmix finalizer, seed 42,
+      // q57-style HUGEINT mod-2^64 macros); signature bits and re-ranked
+      // cosines use the engine's exact left-to-right double fold, so the
+      // sign thresholds — tolerance-free — agree bit-for-bit
+      GateQuery.oracleResource("q60_lsh_ann.sql")) { (s, dir) =>
       val e = embeddings(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
         k = 3, dim = 64, bits = 48, bands = 12)

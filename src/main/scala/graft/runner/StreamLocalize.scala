@@ -173,7 +173,8 @@ object StreamLocalize {
       else "Adtributor (derived mode)"} "
     md ++= "run per completed window inside `foreachBatch` "
     md ++= s"(anomaly on a rotating layer-1 element every $spikeEvery minutes).\n\n"
-    md ++= "Per-window verification: the batch engine's Adtributor on the batch-computed\n"
+    md ++= s"Per-window verification: the batch engine's ${
+      if (algo == "riskloc") "RiskLoc" else "Adtributor"} on the batch-computed\n"
     md ++= "snapshot of the same minute (anomalySnapshots over the static frame).\n\n"
     md ++= "| metric | value |\n|---|---|\n"
     md ++= s"| emitted windows localized | ${windows.size} |\n"
