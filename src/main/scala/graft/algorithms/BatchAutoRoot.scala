@@ -51,7 +51,17 @@ object BatchAutoRoot {
     * key-array construction and hashing (measured at the 4.8M-row crossover
     * cell: the bare explode is ~free), so the cross product candInstances x candCuboids
     * would pay real CPU for cells the downstream joins must discard.
-    * Instances sharing a cuboid set share one union branch. */
+    * Instances sharing a cuboid set share one union branch; the branch
+    * count is capped (each branch is a scan of the cached corpus, so a
+    * many-instance corpus with per-instance cuboid sets — e.g. RS's 135
+    * cases — would otherwise pay O(instances) scans in the y/stats
+    * passes). Above the cap, ONE branch expands the union of all
+    * candidate cuboids over all candidate instances: the downstream
+    * joins discard the extra (instance, cuboid) cells either way, so
+    * the fallback trades bounded per-row expansion CPU for a constant
+    * number of corpus scans. */
+  private val MaxExpandBranches = 8
+
   private def expandPairs(base: DataFrame, inst: Column,
       pairs: Seq[(String, Int)], cuboids: Seq[Seq[String]]): DataFrame = {
     val byCuboidSet = pairs.groupBy(_._1).toSeq
@@ -59,7 +69,12 @@ object BatchAutoRoot {
       .groupBy(_._1).toSeq
       .map { case (cids, es) => (cids, es.map(_._2).sorted) }
       .sortBy(_._2.head)
-    byCuboidSet.map { case (cids, insts) =>
+    if (byCuboidSet.size > MaxExpandBranches) {
+      val allCids = pairs.map(_._2).distinct.sorted
+      val allInsts = pairs.map(_._1).distinct.sorted
+      Cuboids.expandIds(base.filter(inst.isin(allInsts: _*)),
+        allCids.map(c => c -> cuboids(c)))
+    } else byCuboidSet.map { case (cids, insts) =>
       Cuboids.expandIds(base.filter(inst.isin(insts: _*)), cids.map(c => c -> cuboids(c)))
     }.reduce(_ unionByName _)
   }

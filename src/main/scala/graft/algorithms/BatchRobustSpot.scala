@@ -27,7 +27,16 @@ import org.apache.spark.storage.StorageLevel
   *  - the final merge/collapse/rank support counts: TWO passes over the
   *    persisted round-0 frame against a broadcast (instance, cause)
   *    table.
-  * Total: ~4 jobs x 7 rounds + 2, for the WHOLE corpus.
+  * The 7 drill-down rounds run as THREE roundPass invocations (round 10):
+  * round 0 over the corpus, then rounds 1/3/5 fused into one pass over a
+  * pseudo-instance frame — each active (instance, chain) pair keyed
+  * `instance NUL chain` with its dropped cause applied by a broadcast
+  * join — and rounds 2/4/6 into a second. Total: ~5 jobs x 3 passes + 2
+  * for the WHOLE corpus, with no concurrent driver chains contending for
+  * the cache. Round frames are persisted only below RoundCacheMaxRows
+  * (size-aware: the sums pass counts rows for free); above it every pass
+  * recomputes the broadcast-join + ID/CA column algebra from the shared
+  * cached corpus instead of building corpus-sized caches per round.
   *
   * Parity mode: when the input carries a `__row` column (per-instance CSV
   * row order), the global sums reduce with the exact NumpySum port over
@@ -58,6 +67,13 @@ import org.apache.spark.storage.StorageLevel
   */
 object BatchRobustSpot {
 
+  /** Round frames at or below this many rows are persisted for the
+    * round's 3-4 reuses (cheap cache, scheduling-dominated shapes);
+    * above it each pass recomputes the broadcast-join + ID/CA column
+    * algebra from the shared cached corpus instead of building
+    * corpus-sized caches every round (see roundPass). */
+  private val RoundCacheMaxRows = 10000000L
+
   /** Whole-corpus RobustSpot: instance id -> ranked root-cause entries,
     * per-instance equal to [[RobustSpot.run]] (BatchRobustSpotSpec). */
   def run(df0: DataFrame, instanceCol: String, attributes: Seq[String],
@@ -87,12 +103,20 @@ object BatchRobustSpot {
 
     /** One batched select-expand-mine round over `frame` (already filtered
       * to the round's active instances and dropped causes). Returns the
-      * per-instance top-5 causes, the flagged frame (persisted — caller
-      * unpersists), and the per-instance (nBefore, nAfter) totals.
-      * `sink` receives the round's trace lines — concurrent chains pass a
-      * private buffer so the overall trace stream stays deterministic. */
-    def roundPass(round: Int, frame: DataFrame,
-        sink: String => Unit = effOpt.trace)
+      * per-instance top-5 causes, the flagged frame (persisted ONLY when
+      * `persistFlags` — round 0's is reused by the final support counts;
+      * later rounds recompute the cheap broadcast-join + ID/CA column
+      * algebra per pass instead of materializing a corpus-sized cache,
+      * the BatchAutoRoot lesson: cache builds of the full frame dominated
+      * the round, while recomputed scans of the shared `adapted` cache
+      * are map-side CPU only. Every recomputed column is a deterministic
+      * function of broadcast scalars, so parity is unaffected), and the
+      * per-instance (nBefore, nAfter) totals. `sink` receives the round's
+      * trace lines — fused multi-round passes hand a router that
+      * re-buckets lines per chain so the flushed stream stays in round
+      * order. */
+    def roundPass(roundFor: String => Int, frame: DataFrame,
+        sink: String => Unit = effOpt.trace, persistFlags: Boolean = false)
         : (Map[String, Seq[Cause]], DataFrame, Map[String, (Double, Double)]) = {
       def traceFor(i: String): Options =
         effOpt.copy(trace = s => sink(s"[$i] $s"))
@@ -132,15 +156,30 @@ object BatchRobustSpot {
         return (Map.empty, frame.limit(0).withColumn("__after", lit(false))
           .withColumn("__times", lit(0L)), Map.empty)
 
+      // Size-aware round caching: the sums pass just counted every
+      // instance's rows, so the frame size is known for free. Small
+      // frames (scheduling-dominated corpora — the shapes batch mode is
+      // FOR) persist the round's scored/flagged frames exactly like the
+      // pre-fusion DAG: the cache build is cheap and saves 3-4 recomputed
+      // scans per round. Big frames skip the persists — at the H shape
+      // the per-round corpus-sized cache builds and their eviction churn
+      // dominated the round (1022s, H_SCALE r9) while recomputing the
+      // broadcast-join + ID/CA column algebra against the shared cached
+      // `adapted` is map-side CPU only. 10M sits between the largest
+      // batch-winning crossover cell (480k x 16 = 7.7M) and the
+      // sequential-winning 4.8M x 4 = 19.2M one.
+      val cacheRound = sums.valuesIterator.map(_.n).sum <= RoundCacheMaxRows
+
       // --- ID / CA columns from broadcast per-instance scalars
       val sumsDf = sums.toSeq.map { case (i, s) =>
         (i, s.kF, s.kV, (s.n - 1).toDouble, s.mF, s.dF, s.dF / s.mF)
       }.toDF("__si", "__kF", "__kV", "__nm1", "__mF", "__dF", "__rate1")
-      val scored = frame.join(broadcast(sumsDf), inst === col("__si"))
+      val scored0 = frame.join(broadcast(sumsDf), inst === col("__si"))
         .withColumn("ID", idColFrom(col("__kF"), col("__kV"), col("__nm1")))
         .withColumn("CA", caColFrom(col("__rate1"), col("__mF"), col("__dF")))
         .drop("__si", "__kF", "__kV", "__nm1", "__mF", "__dF", "__rate1")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val scored =
+        if (cacheRound) scored0.persist(StorageLevel.MEMORY_AND_DISK) else scored0
 
       // --- knee threshold per instance (select_expand.py:39-62)
       val idVecs: Map[String, Array[Double]] =
@@ -199,10 +238,12 @@ object BatchRobustSpot {
       val times =
         if (opt.derived) (col("ID") * col("CA") * opt.lambdaAmplification).cast("long")
         else (col("ID") * opt.lambdaAmplification).cast("long")
-      val flagged = scored.join(broadcast(thrDf), inst === col("__ti")).drop("__ti")
+      val flagged0 = scored.join(broadcast(thrDf), inst === col("__ti")).drop("__ti")
         .withColumn("__after", afterCond)
         .withColumn("__times", times)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val flagged =
+        if (persistFlags || cacheRound) flagged0.persist(StorageLevel.MEMORY_AND_DISK)
+        else flagged0
 
       // --- weighted per-attribute modes, ties to the smallest value
       // (mining.py:9-13), one pass for every instance and attribute
@@ -226,7 +267,7 @@ object BatchRobustSpot {
       val rcOut = collection.mutable.Map.empty[String, Seq[Cause]]
       val totals = collection.mutable.Map.empty[String, (Double, Double)]
       for (i <- sums.keys if !modes.contains(i)) {
-        traceFor(i).trace(s"ROUND $round: empty expansion")
+        traceFor(i).trace(s"ROUND ${roundFor(i)}: empty expansion")
         rcOut(i) = Seq.empty
       }
       if (minedInstances.nonEmpty) {
@@ -250,11 +291,11 @@ object BatchRobustSpot {
           val expandHist = rows.map(r => r.getInt(1) -> r.getDouble(4)).toMap
           val items: Seq[Item] = attributes.map(a => (a, modes(i)(a)))
           rcOut(i) = mineFromHists(items, beforeHist, afterHist, expandHist,
-            traceFor(i), round)
+            traceFor(i), roundFor(i))
           totals(i) = (beforeHist.values.sum, afterHist.values.sum)
         }
       }
-      scored.unpersist()
+      scored.unpersist() // no-op when the round didn't cache
       (rcOut.toMap, flagged, totals.toMap)
     }
 
@@ -262,53 +303,76 @@ object BatchRobustSpot {
     val rc = collection.mutable.Map.empty[String, Array[Seq[Cause]]]
     for (i <- allInstances) rc(i) = Array.fill[Seq[Cause]](7)(Seq.empty)
 
-    val (rc0, flagged0, totals0) = roundPass(0, adapted)
+    val (rc0, flagged0, totals0) = roundPass(_ => 0, adapted, persistFlags = true)
     for ((i, cs) <- rc0) rc(i)(0) = cs
 
-    // The three two-round chains (1→2, 3→4, 5→6) are independent given
-    // round 0: run them on concurrent driver threads so their batched
-    // DAGs overlap instead of serializing six roundPass round-trips
-    // (same shape as the sequential path's chain concurrency, VERDICT
-    // r6 #2). Each chain writes disjoint rc slots and traces into a
-    // private buffer flushed in chain order (= round order 1..6).
-    val laterFrames = collection.mutable.ArrayBuffer.empty[DataFrame]
-    locally {
-      val chains = graft.core.Concurrency.awaitAll(
-        (1 to 3).map { dim1 => () => {
-          val buf = collection.mutable.ArrayBuffer.empty[String]
-          val frames = collection.mutable.ArrayBuffer.empty[DataFrame]
-          val i1 = 2 * dim1 - 1
-          val active1 = allInstances.filter(i => rc(i)(0).size >= dim1)
-          if (active1.nonEmpty) {
-            // rounds 1/3/5 drop round-0's top-dim1 cause from the full frame
-            val drops1 = active1.map(i => (i, rc(i)(0)(dim1 - 1).toMap)).toDF("__di", "__c1")
-            val frame1 = adapted.join(broadcast(drops1), inst === col("__di"))
-              .filter(!matchesCause(col("__c1"))).drop("__di", "__c1")
-            val (rc1, fl1, _) = roundPass(i1, frame1, buf.append(_))
-            frames += fl1
-            for ((i, cs) <- rc1) rc(i)(i1) = cs
+    // Rounds 1-6 fused into TWO corpus passes (the BatchAutoRoot fusion
+    // playbook, round 10): chain c's rounds (2c-1, 2c) depend only on
+    // round 0 and on each other, so rounds 1/3/5 run as ONE roundPass
+    // over a pseudo-instance frame — every active (instance, chain) pair
+    // becomes its own key `instance NUL chain` via a broadcast join that
+    // applies the pair's dropped cause(s) below every aggregation — and
+    // rounds 2/4/6 as a second. This replaces three concurrent driver
+    // chains (whose cached-frame scans contended 2-5x, PERF_NOTES r9)
+    // with two sequential DAGs whose row volume equals the sum of the
+    // chains' frames, and cuts roundPass invocations per corpus 7 -> 3.
+    // Parity-mode caveat unchanged: the knee/sum vectors of ALL pseudo
+    // instances are collected in one pass, the same ~3x-corpus driver
+    // peak the concurrent chains had.
+    val Sep = 0.toChar.toString // NUL: never occurs in file/case-name ids
+    def splitKey(k: String): (String, Int) = {
+      val at = k.lastIndexOf(Sep)
+      (k.substring(0, at), k.substring(at + 1).toInt)
+    }
+    def chainOf(k: String): Int = splitKey(k)._2
+    // trace router: lines arrive "[i NUL c] ..." — strip the chain tag and
+    // bucket per chain so the flush below replays them chain-major,
+    // round-minor (chain 1 rounds 1,2; chain 2 rounds 3,4; ...), the same
+    // deterministic stream the concurrent chains produced.
+    def chainSink(bufs: Array[collection.mutable.ArrayBuffer[String]]): String => Unit =
+      line => {
+        val at = line.indexOf(Sep)
+        val end = line.indexOf(']', at)
+        val chain = line.substring(at + 1, end).toInt
+        bufs(chain - 1) += (line.substring(0, at) + line.substring(end))
+      }
+    val bufsA = Array.fill(3)(collection.mutable.ArrayBuffer.empty[String])
+    val bufsB = Array.fill(3)(collection.mutable.ArrayBuffer.empty[String])
 
-            // rounds 2/4/6 additionally drop the previous round's top cause
-            val active2 = active1.filter(i => rc(i)(i1).nonEmpty)
-            if (active2.nonEmpty) {
-              val drops2 = active2.map(i =>
-                (i, rc(i)(0)(dim1 - 1).toMap, rc(i)(i1).head.toMap)).toDF("__di", "__c1", "__c2")
-              val frame2 = adapted.join(broadcast(drops2), inst === col("__di"))
-                .filter(!matchesCause(col("__c1")) && !matchesCause(col("__c2")))
-                .drop("__di", "__c1", "__c2")
-              val (rc2, fl2, _) = roundPass(i1 + 1, frame2, buf.append(_))
-              frames += fl2
-              for ((i, cs) <- rc2) rc(i)(i1 + 1) = cs
-            }
-          }
-          (buf, frames)
-        } })
-      chains.foreach { case (buf, frames) =>
-        buf.foreach(effOpt.trace)
-        laterFrames ++= frames
+    // rounds 1/3/5: drop round-0's top-chain cause per (instance, chain)
+    val slotsA = for {
+      chain <- 1 to 3
+      i <- allInstances if rc(i)(0).size >= chain
+    } yield (i + Sep + chain, i, rc(i)(0)(chain - 1).toMap)
+    if (slotsA.nonEmpty) {
+      val dropsA = slotsA.toDF("__k", "__di", "__c1")
+      val frameA = adapted.join(broadcast(dropsA), inst === col("__di"))
+        .filter(!matchesCause(col("__c1")))
+        .withColumn(instanceCol, col("__k"))
+        .drop("__k", "__di", "__c1")
+      val (rcA, flA, _) = roundPass(k => 2 * chainOf(k) - 1, frameA, chainSink(bufsA))
+      flA.unpersist()
+      for ((k, cs) <- rcA) { val (i, c) = splitKey(k); rc(i)(2 * c - 1) = cs }
+
+      // rounds 2/4/6: additionally drop the A-round's top cause
+      val slotsB = for {
+        chain <- 1 to 3
+        i <- allInstances
+        if rc(i)(0).size >= chain && rc(i)(2 * chain - 1).nonEmpty
+      } yield (i + Sep + chain, i, rc(i)(0)(chain - 1).toMap,
+          rc(i)(2 * chain - 1).head.toMap)
+      if (slotsB.nonEmpty) {
+        val dropsB = slotsB.toDF("__k", "__di", "__c1", "__c2")
+        val frameB = adapted.join(broadcast(dropsB), inst === col("__di"))
+          .filter(!matchesCause(col("__c1")) && !matchesCause(col("__c2")))
+          .withColumn(instanceCol, col("__k"))
+          .drop("__k", "__di", "__c1", "__c2")
+        val (rcB, flB, _) = roundPass(k => 2 * chainOf(k), frameB, chainSink(bufsB))
+        flB.unpersist()
+        for ((k, cs) <- rcB) { val (i, c) = splitKey(k); rc(i)(2 * c) = cs }
       }
     }
-    laterFrames.foreach(_.unpersist())
+    for (c <- 0 until 3) { bufsA(c).foreach(effOpt.trace); bufsB(c).foreach(effOpt.trace) }
 
     // ---- merge + collapse + rank per instance; support counts batched
     // over the persisted round-0 frame against broadcast cause tables

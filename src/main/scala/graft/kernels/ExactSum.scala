@@ -157,19 +157,38 @@ object ExactSum {
     if (negative) -r else r
   }
 
+  /** Compact wire format: [flags: u8][firstLimb: u8][nLimbs: u8][limbs:
+    * i64 x nLimbs] — only the nonzero limb span is written (post-
+    * normalize, real-world masses span 3-6 of the 68 limbs, so a record
+    * is ~30-50 bytes instead of the fixed 560 the full array costs).
+    * This is the dominant shuffle/spill payload of every exact_sum
+    * aggregation (BatchSqueeze ships one per element per mass column);
+    * the round trip reconstructs the accumulator bit-identically, so
+    * results are unchanged. */
   def serialize(acc: Array[Long]): Array[Byte] = {
     normalize(acc)
-    val bb = java.nio.ByteBuffer.allocate(8 * Size)
-    var i = 0
-    while (i < Size) { bb.putLong(acc(i)); i += 1 }
+    var lo = 0
+    while (lo < Limbs && acc(lo) == 0L) lo += 1
+    var hi = Limbs - 1
+    while (hi >= lo && acc(hi) == 0L) hi -= 1
+    val n = if (hi < lo) 0 else hi - lo + 1
+    val bb = java.nio.ByteBuffer.allocate(3 + 8 * n)
+    bb.put(acc(FlagIdx).toByte)
+    bb.put(lo.toByte)
+    bb.put(n.toByte)
+    var i = lo
+    while (i <= hi) { bb.putLong(acc(i)); i += 1 }
     bb.array()
   }
 
   def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val acc = new Array[Long](Size)
+    acc(FlagIdx) = (bb.get().toLong) & 0xFFL
+    val lo = bb.get().toInt & 0xFF
+    val n = bb.get().toInt & 0xFF
     var i = 0
-    while (i < Size) { acc(i) = bb.getLong; i += 1 }
+    while (i < n) { acc(lo + i) = bb.getLong; i += 1 }
     acc
   }
 
