@@ -24,10 +24,12 @@ import org.apache.spark.storage.StorageLevel
   * [[run]]). Per-instance results are pinned equal to [[AutoRoot.run]] by
   * BatchAutoRootSpec.
   *
-  * DISPATCH (measured, round 9): the fused DAG wins 1.6-6.6x over the
-  * concurrent per-instance sequential path at every measured shape
-  * through 480k rows/instance (and 4-9x on the RS corpus,
-  * RS_SWEEP_BATCH.md), is par at 4.8M, and loses ~1.3x at the 24M H
+  * DISPATCH (measured, round 9; RS re-measured round 10): the fused DAG
+  * wins 1.6-6.6x over the concurrent per-instance sequential path at
+  * every measured shape through 480k rows/instance — and 4.3x on the RS
+  * corpus with the expandPairs branch cap (129s vs 549s sequential;
+  * uncapped the same fused DAG took 413s there — RS_SWEEP_BATCH.md
+  * round-10 section) — is par at 4.8M, and loses ~1.3x at the 24M H
   * shape (H_SCALE.md r9: fused batch 256s vs ~195s for 4 concurrent
   * sequential runs). Runner's default `--mode auto` dispatches from the
   * CROSSOVER.md-measured 4.8M threshold.

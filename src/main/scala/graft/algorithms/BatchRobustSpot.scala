@@ -27,16 +27,18 @@ import org.apache.spark.storage.StorageLevel
   *  - the final merge/collapse/rank support counts: TWO passes over the
   *    persisted round-0 frame against a broadcast (instance, cause)
   *    table.
-  * The 7 drill-down rounds run as THREE roundPass invocations (round 10):
-  * round 0 over the corpus, then rounds 1/3/5 fused into one pass over a
-  * pseudo-instance frame — each active (instance, chain) pair keyed
-  * `instance NUL chain` with its dropped cause applied by a broadcast
-  * join — and rounds 2/4/6 into a second. Total: ~5 jobs x 3 passes + 2
-  * for the WHOLE corpus, with no concurrent driver chains contending for
-  * the cache. Round frames are persisted only below RoundCacheMaxRows
-  * (size-aware: the sums pass counts rows for free); above it every pass
-  * recomputes the broadcast-join + ID/CA column algebra from the shared
-  * cached corpus instead of building corpus-sized caches per round.
+  * The 7 drill-down rounds pick between two shapes by measured corpus
+  * size (round 10): SMALL corpora fuse rounds 1/3/5 and 2/4/6 into one
+  * roundPass each over a pseudo-instance frame — each active (instance,
+  * chain) pair keyed `instance NUL chain` with its dropped cause applied
+  * by a broadcast join — for ~5 jobs x 3 passes + 2 total (driver
+  * round-trips dominate these shapes); LARGE corpora run the three
+  * two-round chains concurrently (the fused frame's 3x row volume loses
+  * to overlapped instance-sized scans once data dominates). Round
+  * frames are persisted only below RoundCacheMaxRows (size-aware: the
+  * sums pass counts rows for free); above it every pass recomputes the
+  * broadcast-join + ID/CA column algebra from the shared cached corpus
+  * instead of building corpus-sized caches per round.
   *
   * Parity mode: when the input carries a `__row` column (per-instance CSV
   * row order), the global sums reduce with the exact NumpySum port over
@@ -67,12 +69,32 @@ import org.apache.spark.storage.StorageLevel
   */
 object BatchRobustSpot {
 
+  // dev-only phase timing (GRAFT_BRS_TRACE=1): stderr, never in results
+  private val devTrace = sys.env.get("GRAFT_BRS_TRACE").contains("1")
+  private def timed[T](tag: => String)(body: => T): T =
+    if (!devTrace) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(f"[brs] $tag ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      r
+    }
+
   /** Round frames at or below this many rows are persisted for the
     * round's 3-4 reuses (cheap cache, scheduling-dominated shapes);
     * above it each pass recomputes the broadcast-join + ID/CA column
     * algebra from the shared cached corpus instead of building
     * corpus-sized caches every round (see roundPass). */
   private val RoundCacheMaxRows = 10000000L
+
+  /** Corpora at or below this many rows run rounds 1-6 as TWO fused
+    * pseudo-instance passes (driver round-trips dominate); above it the
+    * three two-round chains run concurrently on driver threads (data
+    * volume dominates — the fused frame's 3x rows through serialized
+    * actions lose to overlapped instance-sized scans; measured at
+    * 480k x 16 same-box: fused 462s vs concurrent ~357s, and the
+    * concurrent path is bit-for-bit the r9-measured one). */
+  private val FuseChainsMaxRows = 4000000L
 
   /** Whole-corpus RobustSpot: instance id -> ranked root-cause entries,
     * per-instance equal to [[RobustSpot.run]] (BatchRobustSpotSpec). */
@@ -117,7 +139,7 @@ object BatchRobustSpot {
       * order. */
     def roundPass(roundFor: String => Int, frame: DataFrame,
         sink: String => Unit = effOpt.trace, persistFlags: Boolean = false)
-        : (Map[String, Seq[Cause]], DataFrame, Map[String, (Double, Double)]) = {
+        : (Map[String, Seq[Cause]], DataFrame, Map[String, (Double, Double)], Long) = {
       def traceFor(i: String): Options =
         effOpt.copy(trace = s => sink(s"[$i] $s"))
       // --- global sums per instance (ID_CA.py:5-9,29-39)
@@ -143,10 +165,10 @@ object BatchRobustSpot {
           // has the full rationale — the ID/CA screens amplify ULPs)
           import graft.functions.ExactSumAgg.exactSum
           def es(c: String) = exactSum(when(isnan(col(c)), lit(null)).otherwise(col(c)))
-          val r = frame.groupBy(inst.as("__i")).agg(
+          val r = timed("sums") { frame.groupBy(inst.as("__i")).agg(
             es("k_predict"), es("k_real"), count(lit(1)),
             es("value_predict"), es("value_real"),
-            es("cnt_predict"), es("cnt_real")).collect()
+            es("cnt_predict"), es("cnt_real")).collect() }
           r.map { row =>
             def d(i: Int) = graft.kernels.ExactSum.valueOfBytes(row.getAs[Array[Byte]](i))
             row.getString(0) -> Sums(d(1), d(2), row.getLong(3), d(4), d(5), d(6), d(7))
@@ -154,7 +176,7 @@ object BatchRobustSpot {
         }
       if (sums.isEmpty)
         return (Map.empty, frame.limit(0).withColumn("__after", lit(false))
-          .withColumn("__times", lit(0L)), Map.empty)
+          .withColumn("__times", lit(0L)), Map.empty, 0L)
 
       // Size-aware round caching: the sums pass just counted every
       // instance's rows, so the frame size is known for free. Small
@@ -168,7 +190,8 @@ object BatchRobustSpot {
       // `adapted` is map-side CPU only. 10M sits between the largest
       // batch-winning crossover cell (480k x 16 = 7.7M) and the
       // sequential-winning 4.8M x 4 = 19.2M one.
-      val cacheRound = sums.valuesIterator.map(_.n).sum <= RoundCacheMaxRows
+      val frameRows = sums.valuesIterator.map(_.n).sum
+      val cacheRound = frameRows <= RoundCacheMaxRows
 
       // --- ID / CA columns from broadcast per-instance scalars
       val sumsDf = sums.toSeq.map { case (i, s) =>
@@ -199,8 +222,8 @@ object BatchRobustSpot {
           // small instance batched next to a huge one keeps ALL its IDs
           // (one count action; the collected map is one row per instance)
           val positives = scored.filter(!isnan(col("ID")) && col("ID") > 0)
-          val fracs: Map[String, Double] = positives.groupBy(inst).count()
-            .collect().map { r =>
+          val fracs: Map[String, Double] = timed("kneeCount") {
+            positives.groupBy(inst).count().collect() }.map { r =>
               val n = r.getLong(1)
               r.get(0).toString -> (
                 if (opt.idSampleFraction < 1.0) opt.idSampleFraction
@@ -220,9 +243,9 @@ object BatchRobustSpot {
                   col("__frac") * M)
                 .drop("__fi", "__frac")
             }
-          sampled.groupBy(inst.as("__i"))
+          timed("kneeCollect") { sampled.groupBy(inst.as("__i"))
             .agg(VectorAgg.collectVector(col("ID")).as("idv"))
-            .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toArray.sorted).toMap
+            .collect() }.map(r => r.getString(0) -> r.getSeq[Double](1).toArray.sorted).toMap
         }
       val thresholds: Map[String, Double] = sums.keysIterator.map { i =>
         val ids = idVecs.getOrElse(i, Array.empty[Double])
@@ -249,11 +272,11 @@ object BatchRobustSpot {
       // (mining.py:9-13), one pass for every instance and attribute
       val av = explode(array(attributes.map(a =>
         struct(lit(a).as("attr"), col(a).as("value"))): _*)).as("av")
-      val modeRows = flagged.filter(col("__after") && col("__times") >= 1)
+      val modeRows = timed("modes") { flagged.filter(col("__after") && col("__times") >= 1)
         .select(inst.as("__i"), av, col("__times").as("w"))
         .groupBy(col("__i"), col("av.attr").as("attr"), col("av.value").as("value"))
         .agg(sum("w").as("cnt"))
-        .collect()
+        .collect() }
       val modes: Map[String, Map[String, String]] = modeRows.groupBy(_.getString(0))
         .map { case (i, rows) =>
           i -> rows.groupBy(_.getString(1)).map { case (attr, vs) =>
@@ -275,14 +298,14 @@ object BatchRobustSpot {
         val mask = attributes.zipWithIndex.map { case (a, i) =>
           when(col(a) === element_at(col("__modes"), lit(a)), 1 << i).otherwise(0)
         }.reduce(_ + _)
-        val hists = flagged.join(broadcast(modesDf), inst === col("__mi"))
+        val hists = timed("hists") { flagged.join(broadcast(modesDf), inst === col("__mi"))
           .groupBy(inst.as("__i"), mask.as("mask"))
           .agg(
             count(lit(1)).cast("double").as("n_before"),
             count(when(col("__after"), lit(1))).cast("double").as("n_after"),
             sum(when(col("__after") && col("__times") >= 1, col("__times"))
               .otherwise(0L)).cast("double").as("n_expand"))
-          .collect()
+          .collect() }
           .groupBy(_.getString(0))
         for (i <- minedInstances) {
           val rows = hists(i)
@@ -296,29 +319,40 @@ object BatchRobustSpot {
         }
       }
       scored.unpersist() // no-op when the round didn't cache
-      (rcOut.toMap, flagged, totals.toMap)
+      (rcOut.toMap, flagged, totals.toMap, frameRows)
     }
 
     // ---- 7-round drill-down (robustspot.py:56-69), corpus-wide
     val rc = collection.mutable.Map.empty[String, Array[Seq[Cause]]]
     for (i <- allInstances) rc(i) = Array.fill[Seq[Cause]](7)(Seq.empty)
 
-    val (rc0, flagged0, totals0) = roundPass(_ => 0, adapted, persistFlags = true)
+    val (rc0, flagged0, totals0, corpusRows) =
+      roundPass(_ => 0, adapted, persistFlags = true)
     for ((i, cs) <- rc0) rc(i)(0) = cs
 
-    // Rounds 1-6 fused into TWO corpus passes (the BatchAutoRoot fusion
-    // playbook, round 10): chain c's rounds (2c-1, 2c) depend only on
-    // round 0 and on each other, so rounds 1/3/5 run as ONE roundPass
-    // over a pseudo-instance frame — every active (instance, chain) pair
-    // becomes its own key `instance NUL chain` via a broadcast join that
-    // applies the pair's dropped cause(s) below every aggregation — and
-    // rounds 2/4/6 as a second. This replaces three concurrent driver
-    // chains (whose cached-frame scans contended 2-5x, PERF_NOTES r9)
-    // with two sequential DAGs whose row volume equals the sum of the
-    // chains' frames, and cuts roundPass invocations per corpus 7 -> 3.
-    // Parity-mode caveat unchanged: the knee/sum vectors of ALL pseudo
-    // instances are collected in one pass, the same ~3x-corpus driver
-    // peak the concurrent chains had.
+    // Rounds 1-6: TWO execution shapes, picked by measured corpus size
+    // (round 0's sums pass counted the rows for free).
+    //
+    // SMALL corpora (scheduling-dominated — the shapes batch mode is
+    // for: RS-like many-tiny-instance sets, the bench corpus): fuse the
+    // three chains into TWO roundPass invocations over a pseudo-instance
+    // frame — every active (instance, chain) pair becomes its own key
+    // `instance NUL chain` via a broadcast join that applies the pair's
+    // dropped cause(s) below every aggregation. Cuts roundPass
+    // invocations per corpus 7 -> 3 (driver round-trips are the cost
+    // that matters here; solo-harness q65: 13.2s -> 9.3s).
+    //
+    // LARGE corpora (data-dominated): the fused frame's 3x row volume
+    // through 5 serialized actions per pass LOSES to three concurrent
+    // driver chains whose instance-sized cached scans overlap on the
+    // cluster (same-box A/B at 480k x 16 = 7.7M rows: fused 462s vs
+    // concurrent 357s, with the r9 code measuring 350s in the same
+    // window) — so above the threshold the chains run concurrently
+    // exactly as r9 did, with roundPass's size-aware caching deciding
+    // per chain frame whether to persist.
+    // Parity-mode caveat either way: up to ~3x-corpus driver peak for
+    // the collected vectors (fused: one pass holds all pseudo
+    // instances; chains: three concurrent collects).
     val Sep = 0.toChar.toString // NUL: never occurs in file/case-name ids
     def splitKey(k: String): (String, Int) = {
       val at = k.lastIndexOf(Sep)
@@ -339,40 +373,84 @@ object BatchRobustSpot {
     val bufsA = Array.fill(3)(collection.mutable.ArrayBuffer.empty[String])
     val bufsB = Array.fill(3)(collection.mutable.ArrayBuffer.empty[String])
 
-    // rounds 1/3/5: drop round-0's top-chain cause per (instance, chain)
-    val slotsA = for {
-      chain <- 1 to 3
-      i <- allInstances if rc(i)(0).size >= chain
-    } yield (i + Sep + chain, i, rc(i)(0)(chain - 1).toMap)
-    if (slotsA.nonEmpty) {
-      val dropsA = slotsA.toDF("__k", "__di", "__c1")
-      val frameA = adapted.join(broadcast(dropsA), inst === col("__di"))
-        .filter(!matchesCause(col("__c1")))
-        .withColumn(instanceCol, col("__k"))
-        .drop("__k", "__di", "__c1")
-      val (rcA, flA, _) = roundPass(k => 2 * chainOf(k) - 1, frameA, chainSink(bufsA))
-      flA.unpersist()
-      for ((k, cs) <- rcA) { val (i, c) = splitKey(k); rc(i)(2 * c - 1) = cs }
-
-      // rounds 2/4/6: additionally drop the A-round's top cause
-      val slotsB = for {
+    if (corpusRows <= FuseChainsMaxRows) {
+      // rounds 1/3/5: drop round-0's top-chain cause per (instance, chain)
+      val slotsA = for {
         chain <- 1 to 3
-        i <- allInstances
-        if rc(i)(0).size >= chain && rc(i)(2 * chain - 1).nonEmpty
-      } yield (i + Sep + chain, i, rc(i)(0)(chain - 1).toMap,
-          rc(i)(2 * chain - 1).head.toMap)
-      if (slotsB.nonEmpty) {
-        val dropsB = slotsB.toDF("__k", "__di", "__c1", "__c2")
-        val frameB = adapted.join(broadcast(dropsB), inst === col("__di"))
-          .filter(!matchesCause(col("__c1")) && !matchesCause(col("__c2")))
+        i <- allInstances if rc(i)(0).size >= chain
+      } yield (i + Sep + chain, i, rc(i)(0)(chain - 1).toMap)
+      if (slotsA.nonEmpty) {
+        val dropsA = slotsA.toDF("__k", "__di", "__c1")
+        val frameA = adapted.join(broadcast(dropsA), inst === col("__di"))
+          .filter(!matchesCause(col("__c1")))
           .withColumn(instanceCol, col("__k"))
-          .drop("__k", "__di", "__c1", "__c2")
-        val (rcB, flB, _) = roundPass(k => 2 * chainOf(k), frameB, chainSink(bufsB))
-        flB.unpersist()
-        for ((k, cs) <- rcB) { val (i, c) = splitKey(k); rc(i)(2 * c) = cs }
+          .drop("__k", "__di", "__c1")
+        val (rcA, flA, _, _) = roundPass(k => 2 * chainOf(k) - 1, frameA, chainSink(bufsA))
+        flA.unpersist()
+        for ((k, cs) <- rcA) { val (i, c) = splitKey(k); rc(i)(2 * c - 1) = cs }
+
+        // rounds 2/4/6: additionally drop the A-round's top cause
+        val slotsB = for {
+          chain <- 1 to 3
+          i <- allInstances
+          if rc(i)(0).size >= chain && rc(i)(2 * chain - 1).nonEmpty
+        } yield (i + Sep + chain, i, rc(i)(0)(chain - 1).toMap,
+            rc(i)(2 * chain - 1).head.toMap)
+        if (slotsB.nonEmpty) {
+          val dropsB = slotsB.toDF("__k", "__di", "__c1", "__c2")
+          val frameB = adapted.join(broadcast(dropsB), inst === col("__di"))
+            .filter(!matchesCause(col("__c1")) && !matchesCause(col("__c2")))
+            .withColumn(instanceCol, col("__k"))
+            .drop("__k", "__di", "__c1", "__c2")
+          val (rcB, flB, _, _) = roundPass(k => 2 * chainOf(k), frameB, chainSink(bufsB))
+          flB.unpersist()
+          for ((k, cs) <- rcB) { val (i, c) = splitKey(k); rc(i)(2 * c) = cs }
+        }
       }
+      for (c <- 0 until 3) { bufsA(c).foreach(effOpt.trace); bufsB(c).foreach(effOpt.trace) }
+    } else {
+      // concurrent two-round chains (1→2, 3→4, 5→6), independent given
+      // round 0 — each chain's instance-sized scans overlap on the
+      // cluster; disjoint rc slots; traces buffered per chain and
+      // flushed in chain order (= round order 1..6), the identical
+      // stream the fused path routes into bufsA/bufsB.
+      val laterFrames = collection.mutable.ArrayBuffer.empty[DataFrame]
+      locally {
+        val chains = graft.core.Concurrency.awaitAll(
+          (1 to 3).map { dim1 => () => {
+            val buf = collection.mutable.ArrayBuffer.empty[String]
+            val frames = collection.mutable.ArrayBuffer.empty[DataFrame]
+            val i1 = 2 * dim1 - 1
+            val active1 = allInstances.filter(i => rc(i)(0).size >= dim1)
+            if (active1.nonEmpty) {
+              val drops1 = active1.map(i => (i, rc(i)(0)(dim1 - 1).toMap)).toDF("__di", "__c1")
+              val frame1 = adapted.join(broadcast(drops1), inst === col("__di"))
+                .filter(!matchesCause(col("__c1"))).drop("__di", "__c1")
+              val (rc1, fl1, _, _) = roundPass(_ => i1, frame1, buf.append(_))
+              frames += fl1
+              for ((i, cs) <- rc1) rc(i)(i1) = cs
+
+              val active2 = active1.filter(i => rc(i)(i1).nonEmpty)
+              if (active2.nonEmpty) {
+                val drops2 = active2.map(i =>
+                  (i, rc(i)(0)(dim1 - 1).toMap, rc(i)(i1).head.toMap)).toDF("__di", "__c1", "__c2")
+                val frame2 = adapted.join(broadcast(drops2), inst === col("__di"))
+                  .filter(!matchesCause(col("__c1")) && !matchesCause(col("__c2")))
+                  .drop("__di", "__c1", "__c2")
+                val (rc2, fl2, _, _) = roundPass(_ => i1 + 1, frame2, buf.append(_))
+                frames += fl2
+                for ((i, cs) <- rc2) rc(i)(i1 + 1) = cs
+              }
+            }
+            (buf, frames)
+          } })
+        chains.foreach { case (buf, frames) =>
+          buf.foreach(effOpt.trace)
+          laterFrames ++= frames
+        }
+      }
+      laterFrames.foreach(_.unpersist())
     }
-    for (c <- 0 until 3) { bufsA(c).foreach(effOpt.trace); bufsB(c).foreach(effOpt.trace) }
 
     // ---- merge + collapse + rank per instance; support counts batched
     // over the persisted round-0 frame against broadcast cause tables
