@@ -81,20 +81,41 @@ object BatchRobustSpot {
     }
 
   /** Round frames at or below this many rows are persisted for the
-    * round's 3-4 reuses (cheap cache, scheduling-dominated shapes);
-    * above it each pass recomputes the broadcast-join + ID/CA column
-    * algebra from the shared cached corpus instead of building
-    * corpus-sized caches every round (see roundPass). */
-  private val RoundCacheMaxRows = 10000000L
+    * round's 3-4 reuses. Default: ALWAYS cache. Round 10 skipped the
+    * persist above 10M rows on the theory that corpus-sized cache
+    * builds dominated the r9 H wall — the round-11 quiet-window A/B
+    * falsified that: at the H shape (4 x 24M) the cache-skip measured
+    * 3794s vs 2577s with caching forced, same session (H_SCALE.md r11).
+    * Recomputing the broadcast-join + ID/CA algebra per pass is NOT
+    * "map-side CPU only" in effect: each round runs ~5 actions, so the
+    * skip multiplies the corpus-sized aggregation work 5x.
+    * GRAFT_BRS_CACHE_MAX (env) / graft.brs.cacheMax (sysprop) override
+    * for measurement harnesses only; never set in production. */
+  private def RoundCacheMaxRows: Long =
+    sys.props.get("graft.brs.cacheMax").orElse(sys.env.get("GRAFT_BRS_CACHE_MAX"))
+      .map(_.toLong).getOrElse(Long.MaxValue)
 
   /** Corpora at or below this many rows run rounds 1-6 as TWO fused
-    * pseudo-instance passes (driver round-trips dominate); above it the
-    * three two-round chains run concurrently on driver threads (data
-    * volume dominates — the fused frame's 3x rows through serialized
-    * actions lose to overlapped instance-sized scans; measured at
-    * 480k x 16 same-box: fused 462s vs concurrent ~357s, and the
-    * concurrent path is bit-for-bit the r9-measured one). */
-  private val FuseChainsMaxRows = 4000000L
+    * pseudo-instance passes (2 roundPass invocations instead of 6);
+    * above it the three two-round chains run concurrently on driver
+    * threads. The r10 threshold (4M) was measured with the fused
+    * frame's 3x rows UNCACHED above RoundCacheMaxRows=10M — an
+    * interplay ADVICE r10 flagged; with round caching now unconditional
+    * the round-11 quiet A/B at 480k x 16 = 7.68M rows (BrsFuseAB, one
+    * JVM, one corpus) has fused WINNING 155.1s vs 217.7s chains,
+    * equal=true. Threshold moved to cover the measured win; the region
+    * above 7.7M is unmeasured on cached-fused code — the 3x pseudo
+    * frame's cache footprint argues against extrapolating far (at the H
+    * shape it would be 288M cached rows), so chains stay the default
+    * for very large corpora until a quiet round brackets the boundary
+    * (e.g. 480k x 64 = 30.7M).
+    * GRAFT_BRS_FUSE_MAX (env) / graft.brs.fuseMax (sysprop, re-read per
+    * run so an in-JVM A/B harness can flip modes) override the threshold
+    * for crossover measurement only (0 forces chains, a huge value
+    * forces fused) — never set in production. */
+  private def FuseChainsMaxRows: Long =
+    sys.props.get("graft.brs.fuseMax").orElse(sys.env.get("GRAFT_BRS_FUSE_MAX"))
+      .map(_.toLong).getOrElse(8000000L)
 
   /** Whole-corpus RobustSpot: instance id -> ranked root-cause entries,
     * per-instance equal to [[RobustSpot.run]] (BatchRobustSpotSpec). */
@@ -362,7 +383,9 @@ object BatchRobustSpot {
     // trace router: lines arrive "[i NUL c] ..." — strip the chain tag and
     // bucket per chain so the flush below replays them chain-major,
     // round-minor (chain 1 rounds 1,2; chain 2 rounds 3,4; ...), the same
-    // deterministic stream the concurrent chains produced.
+    // deterministic stream the concurrent chains produced. indexOf(Sep)
+    // is safe ONLY because the fused path is gated on NUL-free instance
+    // ids below — a NUL inside `i` would shift the tag parse.
     def chainSink(bufs: Array[collection.mutable.ArrayBuffer[String]]): String => Unit =
       line => {
         val at = line.indexOf(Sep)
@@ -373,7 +396,12 @@ object BatchRobustSpot {
     val bufsA = Array.fill(3)(collection.mutable.ArrayBuffer.empty[String])
     val bufsB = Array.fill(3)(collection.mutable.ArrayBuffer.empty[String])
 
-    if (corpusRows <= FuseChainsMaxRows) {
+    // NUL-containing instance ids (possible — ids are arbitrary input
+    // cast to string) would corrupt the fused pseudo-key `i NUL chain`
+    // parse in chainSink/splitKey; the chain path never builds composite
+    // keys, so such corpora route there regardless of size.
+    val nulFreeIds = allInstances.forall(!_.contains(Sep))
+    if (corpusRows <= FuseChainsMaxRows && nulFreeIds) {
       // rounds 1/3/5: drop round-0's top-chain cause per (instance, chain)
       val slotsA = for {
         chain <- 1 to 3
@@ -414,6 +442,13 @@ object BatchRobustSpot {
       // cluster; disjoint rc slots; traces buffered per chain and
       // flushed in chain order (= round order 1..6), the identical
       // stream the fused path routes into bufsA/bufsB.
+      // (Round-11 H A/B kept the concurrency: with round caching ON the
+      // concurrent chains measured 2577s at 4 x 24M on a box whose
+      // unchanged-squeeze control ran 4.7x r9 speed — i.e. roughly 2x
+      // FASTER than r9's serial-rounds 1022s after the box factor —
+      // while the same window's only proven loss was the cache skip,
+      // not the overlap. GRAFT_BRS_CHAINS_MAX_CONC overrides for
+      // measurement.)
       val laterFrames = collection.mutable.ArrayBuffer.empty[DataFrame]
       locally {
         val chains = graft.core.Concurrency.awaitAll(
@@ -443,7 +478,8 @@ object BatchRobustSpot {
               }
             }
             (buf, frames)
-          } })
+          } }, maxConcurrent = sys.props.get("graft.brs.chainsMaxConc")
+            .orElse(sys.env.get("GRAFT_BRS_CHAINS_MAX_CONC")).map(_.toInt).getOrElse(4))
         chains.foreach { case (buf, frames) =>
           buf.foreach(effOpt.trace)
           laterFrames ++= frames

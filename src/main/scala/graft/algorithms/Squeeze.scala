@@ -340,23 +340,30 @@ object Squeeze {
       // select the same rows, and a plain shuffle-order `sum` loses those
       // ties (GEN_SWEEP_S.md r9). Counts stay plain (already exact).
       import graft.functions.ExactSumAgg.exactSum
+      // Mode-dead masses are NOT summed (VERDICT r10 #2): the partition
+      // ratio uses cv/cf in fundamental mode and the four component sums
+      // in derived mode — the other side is never read downstream, and
+      // per-row exact_sum updates are the dominant pass-1 CPU at H scale,
+      // so the dead columns aggregate a null binary instead.
+      def deadMass = first(lit(null).cast("binary"))
+      def esIf(live: Boolean, c: => Column) = if (live) exactSum(c) else deadMass
       val stats = exploded
         .groupBy(col("cb.cid").as("cid"), col("cb.key").as("key"))
         .agg(
           count(when(inCluster, lit(1))).as("n_abn"),
           count(lit(1)).as("n_all"),
           count(when(inSubset, lit(1))).as("n_sub"),
-          exactSum(when(inSubset, col("real")).otherwise(0.0)).as("sv_sub"),
-          exactSum(when(inSubset, col("predict")).otherwise(0.0)).as("sf_sub"),
+          esIf(!opt.derived, when(inSubset, col("real")).otherwise(0.0)).as("sv_sub"),
+          esIf(!opt.derived, when(inSubset, col("predict")).otherwise(0.0)).as("sf_sub"),
           exactSum(when(inSubset, abs(col("real") - col("predict"))).otherwise(0.0)).as("l1_sub"),
           // derived mode: the ripple ratio sums the MEASURE COMPONENTS
           // first and divides after (get_derived_dataframe reduction='sum'
           // applies op to the summed a/b frames, squeeze.py:325-335) — a
           // sum of per-row ratios is a different number entirely
-          exactSum(when(inSubset, derivedColOr("real_a")).otherwise(0.0)).as("sva"),
-          exactSum(when(inSubset, derivedColOr("real_b")).otherwise(0.0)).as("svb"),
-          exactSum(when(inSubset, derivedColOr("predict_a")).otherwise(0.0)).as("sfa"),
-          exactSum(when(inSubset, derivedColOr("predict_b")).otherwise(0.0)).as("sfb"))
+          esIf(opt.derived, when(inSubset, derivedColOr("real_a")).otherwise(0.0)).as("sva"),
+          esIf(opt.derived, when(inSubset, derivedColOr("real_b")).otherwise(0.0)).as("svb"),
+          esIf(opt.derived, when(inSubset, derivedColOr("predict_a")).otherwise(0.0)).as("sfa"),
+          esIf(opt.derived, when(inSubset, derivedColOr("predict_b")).otherwise(0.0)).as("sfb"))
         .persist(StorageLevel.MEMORY_AND_DISK)
 
       val perCid = stats.collect().groupBy(_.getInt(0))
@@ -367,11 +374,13 @@ object Squeeze {
           partitions: Int, ratios: Array[Double])
       val plans = perCid.toSeq.sortBy(_._1).flatMap { case (cid, rows) =>
         import graft.kernels.ExactSum
+        // mode-dead mass columns come back null -> empty accumulator
+        def des(r: Row, i: Int): Array[Long] = r.getAs[Array[Byte]](i) match {
+          case null => ExactSum.newAcc()
+          case b => ExactSum.deserialize(b)
+        }
         val all = rows.map(r => (r.getSeq[String](1), r.getLong(2), r.getLong(3), r.getLong(4),
-          ExactSum.deserialize(r.getAs[Array[Byte]](5)), ExactSum.deserialize(r.getAs[Array[Byte]](6)),
-          ExactSum.deserialize(r.getAs[Array[Byte]](7)), ExactSum.deserialize(r.getAs[Array[Byte]](8)),
-          ExactSum.deserialize(r.getAs[Array[Byte]](9)), ExactSum.deserialize(r.getAs[Array[Byte]](10)),
-          ExactSum.deserialize(r.getAs[Array[Byte]](11))))
+          des(r, 5), des(r, 6), des(r, 7), des(r, 8), des(r, 9), des(r, 10), des(r, 11)))
         val nDistinctIdx = all.length // distinct cuboid tuples in full data
         val abn = all.filter(_._2 > 0)
         if (abn.isEmpty) None

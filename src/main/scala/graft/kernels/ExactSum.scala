@@ -182,11 +182,17 @@ object ExactSum {
   }
 
   def deserialize(bytes: Array[Byte]): Array[Long] = {
+    require(bytes.length >= 3,
+      s"ExactSum wire format: need >=3 header bytes, got ${bytes.length}")
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val acc = new Array[Long](Size)
     acc(FlagIdx) = (bb.get().toLong) & 0xFFL
     val lo = bb.get().toInt & 0xFF
     val n = bb.get().toInt & 0xFF
+    require(lo + n <= Limbs && bytes.length == 3 + 8 * n,
+      s"ExactSum wire format: corrupt [flags,lo=$lo,n=$n] header for " +
+        s"${bytes.length}-byte payload (limb span must fit $Limbs limbs " +
+        s"and the buffer must hold exactly n longs)")
     var i = 0
     while (i < n) { acc(lo + i) = bb.getLong; i += 1 }
     acc

@@ -160,7 +160,16 @@ object Similarity {
     * distributed. The sample is the sampleSize smallest ids
     * (TakeOrderedAndProject: a distributed partial top-k, no full sort),
     * so centroids — and everything downstream — are independent of
-    * partition scan order. */
+    * partition scan order.
+    *
+    * Init is a deterministic STRIDED pick over the id-ordered sample
+    * (indices 0, s, 2s, … with s = sampleN/nlist): for embeddings with
+    * no id-correlated structure this spreads the seeds as well as the
+    * seeded Fisher-Yates shuffle it replaced, and — unlike
+    * java.util.Random's 48-bit LCG — every step of the training is
+    * re-derivable in plain SQL, which is what lets the q61 DuckDB oracle
+    * verify centroids + assignment + probe + re-rank end to end. `seed`
+    * is retained for API compatibility but no longer consumed. */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String, nlist: Int,
       iters: Int = 5, sampleSize: Int = 2000, seed: Long = 42L): Array[Array[Double]] = {
     val sample = corpus.select(col(idCol), col(vecCol))
@@ -168,8 +177,9 @@ object Similarity {
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     require(sample.nonEmpty, "empty corpus")
     val dim = sample.head.length
-    val rng = new scala.util.Random(seed)
-    var centroids = rng.shuffle(sample.toSeq).take(nlist).map(_.clone()).toArray
+    val stride = math.max(sample.length / nlist, 1)
+    var centroids = Array.tabulate(math.min(nlist, sample.length))(
+      i => sample((i * stride) % sample.length).clone())
     for (_ <- 1 to iters) {
       val sums = Array.fill(centroids.length)(new Array[Double](dim))
       val counts = new Array[Int](centroids.length)

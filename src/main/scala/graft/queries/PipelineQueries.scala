@@ -236,7 +236,12 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
-    GateQuery.rowsOnly("q61_ivf_ann") { (s, dir) =>
+    GateQuery("q61_ivf_ann",
+      // full in-SQL re-derivation of the index build: strided init over
+      // the id-ordered sample, three unrolled Lloyd iterations with the
+      // engine's exact fold/tie semantics, nearest-centroid assignment,
+      // probing, and exact cosine re-rank (see the .sql header)
+      GateQuery.oracleResource("q61_ivf_ann.sql")) { (s, dir) =>
       val e = embeddings(s, dir)
       val centroids = Similarity.trainCentroids(e, "vec_id", "embedding", nlist = 8, iters = 3)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",

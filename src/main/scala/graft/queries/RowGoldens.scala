@@ -24,6 +24,21 @@ object RowGoldens {
     (RelationalQueries.defs ++ ScoreQueries.defs ++ AlgorithmQueries.defs ++
       PipelineQueries.defs).filter(_.oracle.isEmpty)
 
+  /** Oracle-backed queries that ALSO keep a committed digest pin
+    * (ADVICE r10): the DuckDB oracle verifies them only at the SF the
+    * round harness runs (sf0.01), so these five — whose rows-only pins
+    * were retired when their oracles landed — stay digest-pinned at
+    * sf0.001 AND sf0.01 to catch SF-specific regressions (e.g. a
+    * banding/thinning change that only shifts candidates at small row
+    * counts) between oracle runs. */
+  val OracleBackedPins: Set[String] =
+    Set("q57_minhash_lsh", "q58_simhash", "q60_lsh_ann", "q61_ivf_ann",
+      "q64_multimodal")
+
+  def oracleBacked: Seq[GateQuery] =
+    (RelationalQueries.defs ++ ScoreQueries.defs ++ AlgorithmQueries.defs ++
+      PipelineQueries.defs).filter(q => OracleBackedPins(q.name))
+
   // Control-char sentinels built from numeric char codes so the source file
   // carries no Java/Scala unicode-escape forms (a pre-lexer that expands
   // them everywhere, comments included, would otherwise see raw control
@@ -60,27 +75,33 @@ object RowGoldens {
   }
 }
 
-/** Regenerates the committed golden fixture. Run after any INTENDED
-  * behavior change to a rows-only gate query:
+/** Regenerates the committed golden fixtures. Run after any INTENDED
+  * behavior change to a pinned gate query:
   * `sbt 'runMain graft.queries.RowGoldenGen'` (writes
-  * src/test/resources/fixtures/rows_only_golden.tsv for sf0.001+sf0.01).
+  * src/test/resources/fixtures/rows_only_golden.tsv and
+  * oracle_backed_golden.tsv for sf0.001+sf0.01).
   */
 object RowGoldenGen {
   def main(args: Array[String]): Unit = {
-    val out = args.lift(0).getOrElse("src/test/resources/fixtures/rows_only_golden.tsv")
+    val dir = args.lift(0).getOrElse("src/test/resources/fixtures")
     val sfs = args.lift(1).map(_.split(',').toSeq).getOrElse(Seq("sf0.001", "sf0.01"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = graft.core.Sessions.local(cpus, cpus, "graft-row-goldens")
     spark.sparkContext.setLogLevel("WARN")
-    val sb = new StringBuilder
-    for (sf <- sfs; q <- RowGoldens.rowsOnly.sortBy(_.name)) {
-      val (rows, md5) = RowGoldens.digest(q.fn(spark, s"/root/testdata/$sf"))
-      println(s"${q.name}\t$sf\t$rows\t$md5")
-      sb ++= s"${q.name}\t$sf\t$rows\t$md5\n"
-      spark.catalog.clearCache()
+    for ((file, queries) <- Seq(
+        "rows_only_golden.tsv" -> RowGoldens.rowsOnly,
+        "oracle_backed_golden.tsv" -> RowGoldens.oracleBacked)) {
+      val sb = new StringBuilder
+      for (sf <- sfs; q <- queries.sortBy(_.name)) {
+        val (rows, md5) = RowGoldens.digest(q.fn(spark, s"/root/testdata/$sf"))
+        println(s"${q.name}\t$sf\t$rows\t$md5")
+        sb ++= s"${q.name}\t$sf\t$rows\t$md5\n"
+        spark.catalog.clearCache()
+      }
+      val out = s"$dir/$file"
+      java.nio.file.Files.write(java.nio.file.Paths.get(out), sb.toString.getBytes("UTF-8"))
+      println(s"wrote $out")
     }
-    java.nio.file.Files.write(java.nio.file.Paths.get(out), sb.toString.getBytes("UTF-8"))
-    println(s"wrote $out")
     spark.stop()
   }
 }

@@ -39,4 +39,27 @@ class RowsOnlyGoldenSpec extends AnyFunSuite {
       assert(md5 == g.md5, s"${q.name} digest")
     }
   }
+
+  // Second belt (ADVICE r10): oracle-backed queries whose DuckDB oracle
+  // only runs at the harness SF keep SF-pinned digests here, so a
+  // regression visible only at sf0.001 row counts still fails a spec.
+  private lazy val oracleGolden =
+    RowGoldens.read("src/test/resources/fixtures/oracle_backed_golden.tsv")
+
+  for (pinSf <- Seq("sf0.001", "sf0.01"))
+    test(s"oracle-backed fixture covers its pin set at $pinSf") {
+      val names = RowGoldens.oracleBacked.map(_.name).toSet
+      val pinned = oracleGolden.keys.collect { case (n, `pinSf`) => n }.toSet
+      assert(names == RowGoldens.OracleBackedPins && names == pinned,
+        s"missing=${names -- pinned} stale=${pinned -- names}")
+    }
+
+  for (checkSf <- checkSfs.distinct; q <- RowGoldens.oracleBacked.sortBy(_.name)) {
+    test(s"${q.name} matches its committed oracle-backed digest at $checkSf") {
+      val g = oracleGolden((q.name, checkSf))
+      val (rows, md5) = RowGoldens.digest(q.fn(spark, s"/root/testdata/$checkSf"))
+      assert(rows == g.rows, s"${q.name} row count")
+      assert(md5 == g.md5, s"${q.name} digest")
+    }
+  }
 }

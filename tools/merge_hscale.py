@@ -9,13 +9,20 @@ import re, os, sys
 
 algos = ["riskloc", "autoroot", "robustspot", "squeeze", "adtributor", "revrec", "hotspot"]
 header, rows, notes = None, [], []
-prev_rows = {}
+prev_rows, narrative = {}, ""
 if os.path.exists("H_SCALE.md"):
     prev = open("H_SCALE.md").read()
     for line in prev.splitlines():
         if line.startswith("|") and not line.startswith("| algorithm") and not line.startswith("|---"):
-            prev_rows[line.split("|")[1].strip()] = line
+            name = line.split("|")[1].strip()
+            if name in algos:  # skip table rows of narrative-section tables
+                prev_rows[name] = line
     header = prev[:prev.index("| algorithm")] if "| algorithm" in prev else None
+    # preserve committed "## Round-..." narrative sections across merges
+    # (they are evidence, not per-phase output; the r11 merge lost r9's)
+    m = re.search(r"^## Round-.*", prev, re.S | re.M)
+    if m:
+        narrative = m.group(0).rstrip() + "\n"
 for a in algos:
     p = f"/tmp/hscale_{a}.md"
     if not os.path.exists(p):
@@ -46,5 +53,7 @@ out += ("\nEach phase ran in its own JVM (tools/run_hscale.sh) against the one "
         "state; driver state proper is bounded to per-candidate summaries.\n")
 if notes:
     out += "\n## Notes\n\n" + "\n".join(notes) + "\n"
+if narrative:
+    out += "\n" + narrative
 open("H_SCALE.md", "w").write(out)
 print("wrote H_SCALE.md with", len(rows), "phase rows")
