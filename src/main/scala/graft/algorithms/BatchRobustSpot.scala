@@ -101,21 +101,24 @@ object BatchRobustSpot {
     * threads. The r10 threshold (4M) was measured with the fused
     * frame's 3x rows UNCACHED above RoundCacheMaxRows=10M — an
     * interplay ADVICE r10 flagged; with round caching now unconditional
-    * the round-11 quiet A/B at 480k x 16 = 7.68M rows (BrsFuseAB, one
-    * JVM, one corpus) has fused WINNING 155.1s vs 217.7s chains,
-    * equal=true. Threshold moved to cover the measured win; the region
-    * above 7.7M is unmeasured on cached-fused code — the 3x pseudo
-    * frame's cache footprint argues against extrapolating far (at the H
-    * shape it would be 288M cached rows), so chains stay the default
-    * for very large corpora until a quiet round brackets the boundary
-    * (e.g. 480k x 64 = 30.7M).
+    * the round-11 quiet A/Bs (BrsFuseAB, one JVM, one corpus per cell)
+    * have fused WINNING and the margin WIDENING with instance count:
+    * 480k x 16 = 7.68M rows fused 155.1s vs chains 217.7s; 480k x 32 =
+    * 15.36M fused 329.9s vs chains 1160.7s (3.5x), equal=true both.
+    * Chains pay per-instance-count scan work every round; fused stays
+    * two passes per A/B-round pair regardless. Threshold covers the
+    * measured range; above it is unmeasured on cached-fused code — the
+    * 3x pseudo frame's cache footprint argues against extrapolating to
+    * the H shape (288M cached rows), so chains keep very large corpora
+    * until a quiet round brackets the boundary (e.g. 480k x 64 =
+    * 30.7M).
     * GRAFT_BRS_FUSE_MAX (env) / graft.brs.fuseMax (sysprop, re-read per
     * run so an in-JVM A/B harness can flip modes) override the threshold
     * for crossover measurement only (0 forces chains, a huge value
     * forces fused) — never set in production. */
   private def FuseChainsMaxRows: Long =
     sys.props.get("graft.brs.fuseMax").orElse(sys.env.get("GRAFT_BRS_FUSE_MAX"))
-      .map(_.toLong).getOrElse(8000000L)
+      .map(_.toLong).getOrElse(16000000L)
 
   /** Whole-corpus RobustSpot: instance id -> ranked root-cause entries,
     * per-instance equal to [[RobustSpot.run]] (BatchRobustSpotSpec). */
