@@ -87,6 +87,33 @@ object Bench {
 
   def calibParMedian(): Double = median((1 to 3).map(_ => calibParOnce()))
 
+  /** Spark-shaped calibration control (round 12, VERDICT r11 #1): a
+    * fixed, seeded shuffle DAG — 50M `range` rows hashed to 1M keys,
+    * hash-aggregated, re-keyed to 997 groups, aggregated again, sorted,
+    * collected. Two real shuffles + wide hash-agg state: memory-bandwidth-
+    * and allocation-bound, the workload class the big gate queries
+    * consume and the one the fixed-work CPU probe is blind to (round 11:
+    * a box the CPU probe read at ~1.2x ran shuffle-bound DAGs ~4.7x
+    * slow; BENCH_METHOD.md round-11). Deterministic: xxhash64 of a
+    * literal range, no sampling, fixed partitioning. Returns seconds. */
+  def sparkProbeOnce(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    val rows = spark.range(0L, 50L * 1000 * 1000, 1L, 64)
+      .select(pmod(xxhash64(col("id")), lit(1000000L)).as("k"),
+        xxhash64(col("id"), lit(1)).as("v"))
+      .groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("c"))
+      .groupBy(pmod(col("k"), lit(997L)).as("k2"))
+      .agg(sum("s").as("s2"), sum("c").as("c2"))
+      .orderBy(desc("s2"), asc("k2"))
+      .collect()
+    require(rows.length == 997, s"spark probe returned ${rows.length} groups")
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def sparkProbeMedian(spark: SparkSession): Double =
+    median((1 to 3).map(_ => sparkProbeOnce(spark)))
+
   /** Committed reference for the calibration probe, measured on an idle
     * round-7 box (median-of-3; see BENCH_METHOD.md). */
   val CalibRef = 0.80
@@ -95,6 +122,20 @@ object Bench {
     * samples 1.12-1.54s — the multicore probe is inherently noisier than
     * the single-threaded one, so the gate uses 1.3x of this mid value). */
   val CalibParRef = 1.25
+
+  /** Committed reference for the Spark-shaped probe, measured round 12 in
+    * the SAME window as an H-scale control row (unchanged riskloc DAG,
+    * jobs=71: 1696.2s vs r9-quiet 346.7s → box factor 4.89x) — i.e. this
+    * reference characterizes the SLOW hardware class of the r11/r12
+    * boxes, pairing probe=2.69s with control=4.89x (BENCH_METHOD.md
+    * round-12). A ratio near 1.0 therefore means "r11/r12-class or
+    * better"; a fast-class box reads well under 1. The probe's jobs are
+    * (a) stamping every BENCH artifact with the box's shuffle-class
+    * speed so cross-round walls can be conditioned on it, and (b)
+    * tripping the gate when a box is slower on shuffle DAGs than the
+    * slowest class measured so far. Gate bound is 1.5x — shuffle DAGs
+    * jitter more than the fixed-work probes. */
+  val SparkProbeRef = 2.69
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -112,6 +153,12 @@ object Bench {
     }
     try SparkEntry.queries("q01_filter_project")(spark, sfDir).count()
     catch { case _: Throwable => () }
+
+    // Spark-shaped control: first sample AFTER the session warmup (codegen
+    // + scheduler paths hot), second after the query loop; the gate takes
+    // the min — hardware class does not change mid-run, so the faster
+    // sample is the box's capability and the slower one is contention.
+    val sparkProbeBefore = sparkProbeMedian(spark)
 
     def isolate(): Unit = {
       spark.catalog.clearCache()
@@ -152,6 +199,9 @@ object Bench {
 
     val calibAfter = calibMedian()
     val calibParAfter = calibParMedian()
+    val sparkProbeAfter = sparkProbeMedian(spark)
+    val sparkProbe = math.min(sparkProbeBefore, sparkProbeAfter)
+    val sparkProbeRatio = sparkProbe / SparkProbeRef
     val calib = math.min(calibBefore, calibAfter)
     // the before sample is excluded from the gate: at JVM start the JIT
     // hasn't compiled the probe loop yet and it reads ~1.4x high
@@ -162,12 +212,16 @@ object Bench {
     val calibRatio = calib / CalibRef
     val calibParRatio = calibParMed / CalibParRef
     // gate on medians: robust to one transient spike (GC, a stray daemon),
-    // still trips when contention is sustained across the run
-    val calibOk = calibRatio <= 1.3 && calibParRatio <= 1.3
+    // still trips when contention is sustained across the run. The
+    // Spark-shaped probe joins the gate in round 12 (two-probe rule,
+    // BENCH_METHOD.md): the fixed-work probes bound scheduling noise, the
+    // shuffle probe bounds hardware class.
+    val calibOk = calibRatio <= 1.3 && calibParRatio <= 1.3 && sparkProbeRatio <= 1.5
     if (!calibOk)
       System.err.println(f"BENCH CALIBRATION FAILURE: single-thread probe " +
         f"$calib%.3fs vs ref $CalibRef%.3fs (${calibRatio}%.2fx), multicore " +
-        f"probe median $calibParMed%.3fs vs ref $CalibParRef%.3fs (${calibParRatio}%.2fx) " +
+        f"probe median $calibParMed%.3fs vs ref $CalibParRef%.3fs (${calibParRatio}%.2fx), " +
+        f"spark shuffle probe $sparkProbe%.3fs vs ref $SparkProbeRef%.3fs (${sparkProbeRatio}%.2fx) " +
         "— box is not at reference speed; timings below cannot support a " +
         "regression verdict")
 
@@ -182,14 +236,14 @@ object Bench {
       case Some(names) => s""","partial":true,"bench_only":"${names.mkString(",")}""""
       case None => s""","partial":false"""
     }
-    val common = s""""metric":"total","value":$total,"unit":"sec","method":"median-of-$repeats","query_count":${results.size}$partialFields,"queries":${jmap(median)},"total_min":$totalMin,"calib_ratio":$calibRatio,"calib_par_ratio":$calibParRatio,"calib_ok":$calibOk,"sf":"$sfDir""""
+    val common = s""""metric":"total","value":$total,"unit":"sec","method":"median-of-$repeats","query_count":${results.size}$partialFields,"queries":${jmap(median)},"total_min":$totalMin,"calib_ratio":$calibRatio,"calib_par_ratio":$calibParRatio,"spark_probe_sec":$sparkProbe,"spark_probe_ratio":$sparkProbeRatio,"calib_ok":$calibOk,"sf":"$sfDir""""
     // Full detail (per-query minima, calibration samples) goes to a file —
     // the r7 official artifact lost its numbers because the single giant
     // stdout line got truncated in the driver's captured tail. Keep the
     // stdout line to the contract essentials; point at the file for detail.
     val outPath = sys.env.getOrElse("BENCH_RESULT_FILE",
       if (partial) "bench_result_partial.json" else "bench_result.json")
-    val detail = s"""{$common,"queries_min":${jmap(_.min)},"calib_sec":$calib,"calib_before":$calibBefore,"calib_after":$calibAfter,"calib_ref":$CalibRef,"calib_par_sec":$calibPar,"calib_par_worst":$calibParWorst,"calib_par_samples":${parSamples.mkString("[", ",", "]")},"calib_par_ref":$CalibParRef,"calib_par_med":$calibParMed}"""
+    val detail = s"""{$common,"queries_min":${jmap(_.min)},"calib_sec":$calib,"calib_before":$calibBefore,"calib_after":$calibAfter,"calib_ref":$CalibRef,"calib_par_sec":$calibPar,"calib_par_worst":$calibParWorst,"calib_par_samples":${parSamples.mkString("[", ",", "]")},"calib_par_ref":$CalibParRef,"calib_par_med":$calibParMed,"spark_probe_before":$sparkProbeBefore,"spark_probe_after":$sparkProbeAfter,"spark_probe_ref":$SparkProbeRef}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"bench result file write failed: $e") }

@@ -91,9 +91,7 @@ object BatchRobustSpot {
     * skip multiplies the corpus-sized aggregation work 5x.
     * GRAFT_BRS_CACHE_MAX (env) / graft.brs.cacheMax (sysprop) override
     * for measurement harnesses only; never set in production. */
-  private def RoundCacheMaxRows: Long =
-    sys.props.get("graft.brs.cacheMax").orElse(sys.env.get("GRAFT_BRS_CACHE_MAX"))
-      .map(_.toLong).getOrElse(Long.MaxValue)
+  private val RoundCacheMaxRowsDefault: Long = Long.MaxValue
 
   /** Corpora at or below this many rows run rounds 1-6 as TWO fused
     * pseudo-instance passes (2 roundPass invocations instead of 6);
@@ -112,13 +110,36 @@ object BatchRobustSpot {
     * the H shape (288M cached rows), so chains keep very large corpora
     * until a quiet round brackets the boundary (e.g. 480k x 64 =
     * 30.7M).
-    * GRAFT_BRS_FUSE_MAX (env) / graft.brs.fuseMax (sysprop, re-read per
-    * run so an in-JVM A/B harness can flip modes) override the threshold
-    * for crossover measurement only (0 forces chains, a huge value
-    * forces fused) — never set in production. */
-  private def FuseChainsMaxRows: Long =
-    sys.props.get("graft.brs.fuseMax").orElse(sys.env.get("GRAFT_BRS_FUSE_MAX"))
-      .map(_.toLong).getOrElse(16000000L)
+    * GRAFT_BRS_FUSE_MAX (env) / graft.brs.fuseMax (sysprop, re-read at
+    * each run() so an in-JVM A/B harness can flip modes between calls)
+    * override the threshold for crossover measurement only (0 forces
+    * chains, a huge value forces fused) — never set in production. */
+  private val FuseChainsMaxRowsDefault: Long = 16000000L
+
+  /** Measurement-harness knob overrides, parsed ONCE per [[run]]
+    * invocation with a clear error (ADVICE r11: the previous per-use-site
+    * re-reads threw a bare NumberFormatException deep inside a round on a
+    * malformed value, and a sysprop flipped mid-run could evaluate
+    * inconsistently within one invocation). Sysprop wins over env. */
+  private final case class Knobs(
+      roundCacheMaxRows: Long, fuseChainsMaxRows: Long, chainsMaxConc: Int)
+
+  private def parseKnob[T](sysprop: String, env: String, default: T)(parse: String => T): T =
+    sys.props.get(sysprop).orElse(sys.env.get(env)).map { v =>
+      try parse(v.trim)
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"sysprop $sysprop / env $env must be an integer, got '$v'")
+      }
+    }.getOrElse(default)
+
+  private def readKnobs(): Knobs = Knobs(
+    roundCacheMaxRows =
+      parseKnob("graft.brs.cacheMax", "GRAFT_BRS_CACHE_MAX", RoundCacheMaxRowsDefault)(_.toLong),
+    fuseChainsMaxRows =
+      parseKnob("graft.brs.fuseMax", "GRAFT_BRS_FUSE_MAX", FuseChainsMaxRowsDefault)(_.toLong),
+    chainsMaxConc =
+      parseKnob("graft.brs.chainsMaxConc", "GRAFT_BRS_CHAINS_MAX_CONC", 4)(_.toInt))
 
   /** Whole-corpus RobustSpot: instance id -> ranked root-cause entries,
     * per-instance equal to [[RobustSpot.run]] (BatchRobustSpotSpec). */
@@ -127,6 +148,7 @@ object BatchRobustSpot {
     val spark = df0.sparkSession
     import spark.implicits._
     val inst = col(instanceCol)
+    val knobs = readKnobs()
     val effOpt = if (opt.derived) opt else opt.copy(caThreshold = -1.0)
     val parity = df0.columns.contains("__row")
 
@@ -215,7 +237,7 @@ object BatchRobustSpot {
       // batch-winning crossover cell (480k x 16 = 7.7M) and the
       // sequential-winning 4.8M x 4 = 19.2M one.
       val frameRows = sums.valuesIterator.map(_.n).sum
-      val cacheRound = frameRows <= RoundCacheMaxRows
+      val cacheRound = frameRows <= knobs.roundCacheMaxRows
 
       // --- ID / CA columns from broadcast per-instance scalars
       val sumsDf = sums.toSeq.map { case (i, s) =>
@@ -404,7 +426,7 @@ object BatchRobustSpot {
     // parse in chainSink/splitKey; the chain path never builds composite
     // keys, so such corpora route there regardless of size.
     val nulFreeIds = allInstances.forall(!_.contains(Sep))
-    if (corpusRows <= FuseChainsMaxRows && nulFreeIds) {
+    if (corpusRows <= knobs.fuseChainsMaxRows && nulFreeIds) {
       // rounds 1/3/5: drop round-0's top-chain cause per (instance, chain)
       val slotsA = for {
         chain <- 1 to 3
@@ -481,8 +503,7 @@ object BatchRobustSpot {
               }
             }
             (buf, frames)
-          } }, maxConcurrent = sys.props.get("graft.brs.chainsMaxConc")
-            .orElse(sys.env.get("GRAFT_BRS_CHAINS_MAX_CONC")).map(_.toInt).getOrElse(4))
+          } }, maxConcurrent = knobs.chainsMaxConc)
         chains.foreach { case (buf, frames) =>
           buf.foreach(effOpt.trace)
           laterFrames ++= frames

@@ -168,10 +168,19 @@ object Similarity {
     * seeded Fisher-Yates shuffle it replaced, and — unlike
     * java.util.Random's 48-bit LCG — every step of the training is
     * re-derivable in plain SQL, which is what lets the q61 DuckDB oracle
-    * verify centroids + assignment + probe + re-rank end to end. `seed`
-    * is retained for API compatibility but no longer consumed. */
+    * verify centroids + assignment + probe + re-rank end to end.
+    *
+    * Caveat (ADVICE r11): when embeddings DO correlate with id order
+    * (e.g. a time-ordered corpus whose topics drift), a strided pick over
+    * the id-ordered sample can seed near-duplicate centroids within a
+    * stride neighborhood, degrading IVF recall versus random init —
+    * increasingly likely as nlist grows (PIPELINE_SCALE.md runs
+    * nlist=64). For such corpora, pre-shuffle ids (hash-remap) before
+    * training. There is no `seed` parameter: the r11 version kept one it
+    * never consumed, which invited callers to believe they were varying
+    * the init. */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String, nlist: Int,
-      iters: Int = 5, sampleSize: Int = 2000, seed: Long = 42L): Array[Array[Double]] = {
+      iters: Int = 5, sampleSize: Int = 2000): Array[Array[Double]] = {
     val sample = corpus.select(col(idCol), col(vecCol))
       .orderBy(col(idCol)).limit(sampleSize).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)

@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
   * anomaly-injected leaf snapshot derived from the harness tables. The
   * anomaly (real scaled 2x inside brand=Brand#19 & rf=R) and the
   * deterministic per-leaf forecast noise (murmur3 of the attribute values)
-  * are fixed, so results are stable across runs; these entries are
-  * rows-only checks (driver records a non-SQL-expressible op).
+  * are fixed, so results are stable across runs. Most entries are
+  * rows-only checks (driver records a non-SQL-expressible op) pinned by
+  * committed digests (RowGoldens); q41/q42 additionally carry full in-SQL
+  * DuckDB oracles that re-derive the murmur3 noise bit-exactly.
   */
 object AlgorithmQueries {
 
@@ -66,7 +68,13 @@ object AlgorithmQueries {
         .orderBy("root_cause")
     },
 
-    GateQuery.rowsOnly("q41_adtributor") { (s, dir) =>
+    // Full in-SQL DuckDB oracle (round 12): the resource re-derives the
+    // anomalous snapshot's murmur3 forecast noise bit-exactly (chained
+    // Spark hash(rf, ls, brand), seed 42) and mirrors the whole Adtributor
+    // pipeline — grouping-set merge, ep/surprise algebra, the per-dimension
+    // cumulative-EP cut, top-k — in window SQL. Digest pins stay as the
+    // second belt at sf0.001+sf0.01 (RowGoldens.OracleBackedPins).
+    GateQuery("q41_adtributor", GateQuery.oracleResource("q41_adtributor.sql")) { (s, dir) =>
       import s.implicits._
       val cands = Adtributor.run(anomalousSnapshot(s, dir), attrs,
         Adtributor.Options(teep = 0.05, tep = 0.1, k = 3))
@@ -76,7 +84,18 @@ object AlgorithmQueries {
         .orderBy("dimension")
     },
 
-    GateQuery.rowsOnly("q42_revrec_adtributor") { (s, dir) =>
+    // Full in-SQL oracle (round 12): the recursion is unrolled to its
+    // maximum depth (3 dims → 3 levels; a level-3 node pins every
+    // dimension, so level-2 candidates are always kept), and since the
+    // gate output is prediction strings only, the oracle mirrors the
+    // candidate-set logic (ep>teep with numpyDiv ±Inf/NaN semantics,
+    // strict-subset gate, keep-vs-expand) without needing FP-exact
+    // scores. Cross-checked beyond the gate input via runner.Q42Probe
+    // (dual anomaly, teep ∈ {0.001, 0.02, 0.05, 0.3}: 17-prediction,
+    // 2-prediction and empty outputs all match the SQL variant). Digest
+    // pins stay as the second belt (RowGoldens.OracleBackedPins).
+    GateQuery("q42_revrec_adtributor",
+        GateQuery.oracleResource("q42_revrec_adtributor.sql")) { (s, dir) =>
       import s.implicits._
       val preds = RevRecAdtributor.predictions(
         RevRecAdtributor.run(anomalousSnapshot(s, dir), attrs,

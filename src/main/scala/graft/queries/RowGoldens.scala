@@ -32,7 +32,8 @@ object RowGoldens {
     * banding/thinning change that only shifts candidates at small row
     * counts) between oracle runs. */
   val OracleBackedPins: Set[String] =
-    Set("q57_minhash_lsh", "q58_simhash", "q60_lsh_ann", "q61_ivf_ann",
+    Set("q41_adtributor", "q42_revrec_adtributor",
+      "q57_minhash_lsh", "q58_simhash", "q60_lsh_ann", "q61_ivf_ann",
       "q64_multimodal")
 
   def oracleBacked: Seq[GateQuery] =
@@ -83,6 +84,14 @@ object RowGoldens {
   */
 object RowGoldenGen {
   def main(args: Array[String]): Unit = {
+    // The first argument changed meaning in round 11 (output .tsv path ->
+    // output DIRECTORY, now that two fixture files are written). Reject the
+    // old form loudly rather than silently writing <path>.tsv/<file>.tsv.
+    args.lift(0).filter(_.endsWith(".tsv")).foreach { p =>
+      sys.error(s"RowGoldenGen now takes an output DIRECTORY (got '$p'); " +
+        "it writes rows_only_golden.tsv AND oracle_backed_golden.tsv there. " +
+        s"Pass '${new java.io.File(p).getParent}' instead.")
+    }
     val dir = args.lift(0).getOrElse("src/test/resources/fixtures")
     val sfs = args.lift(1).map(_.split(',').toSeq).getOrElse(Seq("sf0.001", "sf0.01"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
