@@ -103,18 +103,21 @@ object BatchRobustSpot {
     * have fused WINNING and the margin WIDENING with instance count:
     * 480k x 16 = 7.68M rows fused 155.1s vs chains 217.7s; 480k x 32 =
     * 15.36M fused 329.9s vs chains 1160.7s (3.5x), equal=true both.
-    * Chains pay per-instance-count scan work every round; fused stays
-    * two passes per A/B-round pair regardless. Threshold covers the
-    * measured range; above it is unmeasured on cached-fused code — the
-    * 3x pseudo frame's cache footprint argues against extrapolating to
-    * the H shape (288M cached rows), so chains keep very large corpora
-    * until a quiet round brackets the boundary (e.g. 480k x 64 =
-    * 30.7M).
+    * Round 12 bracketed from above (VERDICT r11 #2): 480k x 64 = 30.72M
+    * fused 590.6s vs chains 2085.2s — the 3.5x margin HOLDS (chains-
+    * first order, both paths JIT-warmed, equal=true, 192 causes;
+    * CROSSOVER.md round-12). Chains pay per-instance-count scan work
+    * every round; fused stays two passes per A/B-round pair regardless.
+    * Threshold covers the measured range (now through 30.72M); above it
+    * is unmeasured on cached-fused code — the 3x pseudo frame's cache
+    * footprint argues against extrapolating to the H shape (288M cached
+    * rows), so chains keep very large corpora until a quiet round
+    * brackets the next cell (480k x 128 = 61.4M).
     * GRAFT_BRS_FUSE_MAX (env) / graft.brs.fuseMax (sysprop, re-read at
     * each run() so an in-JVM A/B harness can flip modes between calls)
     * override the threshold for crossover measurement only (0 forces
     * chains, a huge value forces fused) — never set in production. */
-  private val FuseChainsMaxRowsDefault: Long = 16000000L
+  private val FuseChainsMaxRowsDefault: Long = 31000000L
 
   /** Measurement-harness knob overrides, parsed ONCE per [[run]]
     * invocation with a clear error (ADVICE r11: the previous per-use-site
