@@ -59,7 +59,14 @@ object AlgorithmQueries {
 
   val defs: Seq[GateQuery] = Seq(
 
-    GateQuery.rowsOnly("q40_riskloc") { (s, dir) =>
+    // Full in-SQL DuckDB oracle (round 12, tools/gen_riskloc_oracle.py):
+    // the remove-and-repeat loop is unrolled 4x (exact — a guard-passing
+    // iteration with no winner is a fixed point), the sequential cuboid
+    // scan becomes a (layer ASC, ep DESC, cid ASC) argmax over
+    // risk-passing candidates, and the murmur3 forecast noise is
+    // re-derived bit-exactly. Digest pins stay as the second belt
+    // (RowGoldens.OracleBackedPins).
+    GateQuery("q40_riskloc", GateQuery.oracleResource("q40_riskloc.sql")) { (s, dir) =>
       import s.implicits._
       val rcs = RiskLoc.run(anomalousSnapshot(s, dir), attrs)
       rcs.map(rc => (rc.labels.mkString(";"), rc.layer,
@@ -137,7 +144,12 @@ object AlgorithmQueries {
       preds.toDF("root_cause").orderBy("root_cause")
     },
 
-    GateQuery.rowsOnly("q47_batch_riskloc") { (s, dir) =>
+    // Per-instance variant of the q40 oracle (same generator —
+    // instance_id threaded through every grouping, guard, prune list and
+    // removal; BatchRiskLoc is spec-pinned equal to sequential RiskLoc
+    // per instance).
+    GateQuery("q47_batch_riskloc",
+        GateQuery.oracleResource("q47_batch_riskloc.sql")) { (s, dir) =>
       import s.implicits._
       val found = BatchRiskLoc.run(anomalousCorpus(s, dir), "instance_id", attrs)
       found.toSeq.flatMap { case (inst, rcs) =>
@@ -186,7 +198,11 @@ object AlgorithmQueries {
         .orderBy("instance_id")
     },
 
-    GateQuery.rowsOnly("q67_batch_revrec") { (s, dir) =>
+    // Per-instance variant of the q42 oracle (recursion unrolled to full
+    // depth, instance_id added to every grouping/partition key;
+    // BatchRevRecAdtributor is spec-pinned equal per instance).
+    GateQuery("q67_batch_revrec",
+        GateQuery.oracleResource("q67_batch_revrec.sql")) { (s, dir) =>
       import s.implicits._
       val found = BatchRevRecAdtributor.predictions(
         BatchRevRecAdtributor.run(anomalousCorpus(s, dir), "instance_id", attrs,
