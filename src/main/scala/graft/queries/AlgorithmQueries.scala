@@ -110,7 +110,12 @@ object AlgorithmQueries {
       preds.toDF("root_cause").orderBy("root_cause")
     },
 
-    GateQuery.rowsOnly("q43_autoroot") { (s, dir) =>
+    // Full in-SQL DuckDB oracle (round 12, tools/gen_autoroot_oracle.py):
+    // silverman gaussian KDE + strict-minima boundaries on the 400-point
+    // grid, the set-match NPS selection quirk, per-cluster argmax winners
+    // and the subsumption merge, all in window SQL. Digest pins stay as
+    // the second belt (RowGoldens.OracleBackedPins).
+    GateQuery("q43_autoroot", GateQuery.oracleResource("q43_autoroot.sql")) { (s, dir) =>
       import s.implicits._
       val rcs = AutoRoot.run(anomalousSnapshot(s, dir), attrs,
         AutoRoot.Options(deltaThreshold = 0.1))
@@ -167,7 +172,11 @@ object AlgorithmQueries {
         .orderBy("instance_id", "root_cause")
     },
 
-    GateQuery.rowsOnly("q49_batch_autoroot") { (s, dir) =>
+    // Per-instance variant of the q43 oracle (same generator;
+    // BatchAutoRoot is spec-pinned equal to sequential AutoRoot per
+    // instance).
+    GateQuery("q49_batch_autoroot",
+        GateQuery.oracleResource("q49_batch_autoroot.sql")) { (s, dir) =>
       import s.implicits._
       val found = BatchAutoRoot.run(anomalousCorpus(s, dir), "instance_id", attrs,
         AutoRoot.Options(deltaThreshold = 0.1))
