@@ -125,7 +125,15 @@ object AlgorithmQueries {
         .orderBy("root_cause")
     },
 
-    GateQuery.rowsOnly("q44_squeeze") { (s, dir) =>
+    // Full in-SQL DuckDB oracle (round 12, tools/gen_squeeze_oracle.py):
+    // stage A replicates the driver-side scalar kernels (KPI-filter KDE +
+    // Kneedle knee, histogram density clustering) as DuckDB list lambdas
+    // with the kernels' sequential summation order; stage B runs the
+    // per-cluster cuboid search relationally. See the generator header
+    // for the equivalence envelope (argsort stable regime, smoothing
+    // window <= 11, compound string order). Digest pins stay as the
+    // second belt (RowGoldens.OracleBackedPins).
+    GateQuery("q44_squeeze", GateQuery.oracleResource("q44_squeeze.sql")) { (s, dir) =>
       import s.implicits._
       Squeeze.run(anomalousSnapshot(s, dir), attrs)
         .toDF("root_cause").orderBy("root_cause")
@@ -164,7 +172,11 @@ object AlgorithmQueries {
         .orderBy("instance_id", "root_cause")
     },
 
-    GateQuery.rowsOnly("q48_batch_squeeze") { (s, dir) =>
+    // Per-instance variant of the q44 oracle (same generator;
+    // BatchSqueeze is spec-pinned equal to sequential Squeeze per
+    // instance).
+    GateQuery("q48_batch_squeeze",
+        GateQuery.oracleResource("q48_batch_squeeze.sql")) { (s, dir) =>
       import s.implicits._
       val found = BatchSqueeze.run(anomalousCorpus(s, dir), "instance_id", attrs)
       found.toSeq.flatMap { case (inst, preds) => preds.map(inst -> _) }

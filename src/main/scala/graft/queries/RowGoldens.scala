@@ -33,9 +33,10 @@ object RowGoldens {
     * counts) between oracle runs. */
   val OracleBackedPins: Set[String] =
     Set("q40_riskloc", "q41_adtributor", "q42_revrec_adtributor",
-      "q43_autoroot", "q47_batch_riskloc", "q49_batch_autoroot",
-      "q57_minhash_lsh", "q58_simhash", "q60_lsh_ann", "q61_ivf_ann",
-      "q64_multimodal", "q67_batch_revrec")
+      "q43_autoroot", "q44_squeeze", "q47_batch_riskloc",
+      "q48_batch_squeeze", "q49_batch_autoroot", "q57_minhash_lsh",
+      "q58_simhash", "q60_lsh_ann", "q61_ivf_ann", "q64_multimodal",
+      "q67_batch_revrec")
 
   def oracleBacked: Seq[GateQuery] =
     (RelationalQueries.defs ++ ScoreQueries.defs ++ AlgorithmQueries.defs ++
