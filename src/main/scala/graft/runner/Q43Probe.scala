@@ -21,8 +21,12 @@ object Q43Probe {
     spark.sparkContext.setLogLevel("WARN")
     val scale = {
       val base = when(col("brand") === "Brand#19" && col("rf") === "R", m1)
+      // '*' wildcards an attribute (e.g. "* R 2.0" doubles EVERY brand's
+      // rf=R slice — the single-attribute anomaly that exercises the
+      // layer-1 winner paths)
+      def m(c: String, v: String) = if (v == "*") lit(true) else col(c) === v
       second.fold(base.otherwise(1.0)) { case (b2, r2, m2) =>
-        base.when(col("brand") === b2 && col("rf") === r2, m2).otherwise(1.0)
+        base.when(m("brand", b2) && m("rf", r2), m2).otherwise(1.0)
       }
     }
     val snap = ScoreQueries.snapshot(spark, dir)

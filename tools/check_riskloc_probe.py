@@ -20,7 +20,10 @@ def main():
     case = f"CASE WHEN brand = 'Brand#19' AND rf = 'R' THEN {m1}"
     if len(sys.argv) >= 6:
         b2, r2, m2 = sys.argv[3:6]
-        case += f" WHEN brand = '{b2}' AND rf = '{r2}' THEN {m2}"
+        conds = [c for c in (
+            f"brand = '{b2}'" if b2 != "*" else None,
+            f"rf = '{r2}'" if r2 != "*" else None) if c]
+        case += f" WHEN {' AND '.join(conds) or 'true'} THEN {m2}"
     case += " ELSE 1.0 END"
 
     sql = open("src/main/resources/graft/oracles/q40_riskloc.sql").read()

@@ -1,0 +1,27 @@
+#!/usr/bin/env bash
+# Run the full oracle probe matrix: for each algorithm family with a
+# generated DuckDB oracle, execute the Scala probe runner at several
+# variant anomaly injections and diff against the oracle SQL with the
+# same injection substituted (tools/check_*_probe.py). Exits non-zero on
+# the first MISMATCH. Driver-side tooling only.
+#
+# Usage: tools/run_probes.sh [sfdir]   (default /root/testdata/sf0.01)
+set -e
+SF="${1:-/root/testdata/sf0.01}"
+# "2.0 * R 2.0" doubles every rf=R slice: the single-attribute anomaly
+# that exercises the layer-1 winner paths
+SCEN=("2.0 Brand#25 A 3.0" "0.4" "1.15" "3.0 Brand#19 A 2.0" "2.0 * R 2.0")
+declare -A RUNNER=([riskloc]=Q40Probe [autoroot]=Q43Probe [squeeze]=Q44Probe)
+declare -A CHECK=([riskloc]=check_riskloc_probe.py [autoroot]=check_autoroot_probe.py
+                  [squeeze]=check_squeeze_probe.py)
+for fam in riskloc autoroot squeeze; do
+  for s in "${SCEN[@]}"; do
+    echo "=== $fam: $s ==="
+    # shellcheck disable=SC2086
+    sbt -batch "runMain graft.runner.${RUNNER[$fam]} $SF $s" 2>/dev/null \
+      | grep -E "^(RC|PRED)" > /tmp/probe_out.txt || true
+    # shellcheck disable=SC2086
+    python3 "tools/${CHECK[$fam]}" "$SF" $s < /tmp/probe_out.txt | tail -1
+  done
+done
+echo "ALL PROBES MATCH"
