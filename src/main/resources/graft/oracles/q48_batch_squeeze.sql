@@ -424,6 +424,18 @@ winner AS MATERIALIZED (
     LEFT JOIN lcut lc ON r.iid = lc.iid AND r.k = lc.k
     WHERE lc.lstop IS NULL OR r.layer <= lc.lstop)
   WHERE wrn = 1),
+-- envelope guard (VERDICT r12 #3): the element-descent argsort tie order
+-- is replicated only in numpy's stable insertion-sort regime (<= 16
+-- abnormal elements per cuboid). Fail loudly at run time if an input
+-- leaves the envelope instead of relying on a visible mismatch; the
+-- final SELECT cross-joins this one-row CTE so it always evaluates.
+envguard AS MATERIALIZED (
+  SELECT CASE WHEN max(cnt) > 16 THEN error(
+           'squeeze oracle envelope violated: a cuboid has ' || max(cnt)
+           || ' abnormal elements (> 16, outside the stable-argsort regime; '
+           || 'see gen_squeeze_oracle.py CAVEATS)')
+         ELSE coalesce(max(cnt), 0) END AS max_abn_elems
+  FROM (SELECT iid, k, cid, count(*) AS cnt FROM elems GROUP BY 1, 2, 3)),
 -- root-cause strings: winning prefix elements (degenerate cuboids take
 -- every abnormal element), labels '&'-canonical; compound strings join
 -- ';' in sorted label order (see generator CAVEATS); set-dedup across
@@ -442,4 +454,4 @@ rcstr AS MATERIALIZED (
   JOIN elems e ON e.iid = w.iid AND e.k = w.k AND e.cid = w.cid AND e.rnk <= w.nele
   GROUP BY w.iid, w.k)
 SELECT DISTINCT iid AS instance_id, root_cause
-FROM rcstr ORDER BY instance_id, root_cause
+FROM rcstr CROSS JOIN envguard ORDER BY instance_id, root_cause

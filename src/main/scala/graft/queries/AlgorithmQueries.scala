@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   * anomaly-injected leaf snapshot derived from the harness tables. The
   * anomaly (real scaled 2x inside brand=Brand#19 & rf=R) and the
   * deterministic per-leaf forecast noise (murmur3 of the attribute values)
-  * are fixed, so results are stable across runs. Most entries are
-  * rows-only checks (driver records a non-SQL-expressible op) pinned by
-  * committed digests (RowGoldens); q41/q42 additionally carry full in-SQL
-  * DuckDB oracles that re-derive the murmur3 noise bit-exactly.
+  * are fixed, so results are stable across runs. Since round 12 these
+  * queries are oracle-backed by default: full in-SQL DuckDB oracles
+  * (re-deriving the murmur3 noise bit-exactly) cover every family except
+  * the hotspot/robustspot four (q45/q46/q65/q66), which stay rows-only
+  * per ORACLES.md (MT19937 playout order; CPython set-iteration order +
+  * NaN-Timsort are load-bearing) and are pinned by committed digests
+  * (RowGoldens) plus reference parity at three corpus scales.
   */
 object AlgorithmQueries {
 

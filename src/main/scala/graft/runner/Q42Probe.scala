@@ -27,6 +27,9 @@ object Q42Probe {
       RevRecAdtributor.run(snap, Seq("brand", "ls", "rf"),
         RevRecAdtributor.Options(teep = teep)))
     preds.foreach(p => println(s"PRED\t$p"))
+    // sentinel: proves the runner ran to completion even when the
+    // injection legitimately yields zero RC/PRED lines (ADVICE r12)
+    println("PROBE_DONE")
     spark.stop()
   }
 }

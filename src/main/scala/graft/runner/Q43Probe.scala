@@ -40,6 +40,9 @@ object Q43Probe {
         println(s"RC\t${rc.labels.mkString(";")}\t${rc.layer}\t" +
           s"${math.floor(rc.scores("avg") * 1e6) / 1e6}")
       }
+    // sentinel: proves the runner ran to completion even when the
+    // injection legitimately yields zero RC/PRED lines (ADVICE r12)
+    println("PROBE_DONE")
     spark.stop()
   }
 }

@@ -38,6 +38,9 @@ object Q44Probe {
     val preds = Squeeze.run(snap, Seq("brand", "ls", "rf"),
       Squeeze.Options(trace = s => println(s"TR\t$s")))
     preds.foreach(p => println(s"PRED\t$p"))
+    // sentinel: proves the runner ran to completion even when the
+    // injection legitimately yields zero RC/PRED lines (ADVICE r12)
+    println("PROBE_DONE")
     spark.stop()
   }
 }

@@ -35,6 +35,11 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     oracle = [(r[0], int(r[1]), float(r[2]))
               for r in con.execute(sql).fetchall()]
+    # Sort with the same tuple key as the spark list below: the SQL orders
+    # by root_cause alone, so two root causes with identical label strings
+    # at different layers could otherwise arrive in a different row order
+    # and produce a spurious MISMATCH (ADVICE r12).
+    oracle.sort()
 
     spark = []
     for line in sys.stdin:

@@ -33,7 +33,12 @@ silent agreement):
   - numpy argsort tie permutations are mirrored in their stable
     insertion-sort regime (arrays <= 16; maxNumElements=12 keeps the
     partition argsort there always). The element-descent argsort is
-    stable only while a cuboid's abnormal element count stays <= 16.
+    stable only while a cuboid's abnormal element count stays <= 16 —
+    since round 13 this precondition is CHECKED at oracle run time: the
+    emitted SQL carries an `envguard` CTE that raises a DuckDB error()
+    when any cuboid exceeds 16 abnormal elements, so an
+    out-of-envelope input fails the gate loudly instead of relying on
+    the mismatch-surfacing argument.
   - The smoothing window sum replicates numpy small_correlate
     (ascending sequential) — exact for window <= 11; the OpenBLAS
     ddot tree used above that is not replicated.
@@ -409,6 +414,18 @@ winner AS MATERIALIZED (
     LEFT JOIN lcut lc ON r.iid = lc.iid AND r.k = lc.k
     WHERE lc.lstop IS NULL OR r.layer <= lc.lstop)
   WHERE wrn = 1),
+-- envelope guard (VERDICT r12 #3): the element-descent argsort tie order
+-- is replicated only in numpy's stable insertion-sort regime (<= 16
+-- abnormal elements per cuboid). Fail loudly at run time if an input
+-- leaves the envelope instead of relying on a visible mismatch; the
+-- final SELECT cross-joins this one-row CTE so it always evaluates.
+envguard AS MATERIALIZED (
+  SELECT CASE WHEN max(cnt) > 16 THEN error(
+           'squeeze oracle envelope violated: a cuboid has ' || max(cnt)
+           || ' abnormal elements (> 16, outside the stable-argsort regime; '
+           || 'see gen_squeeze_oracle.py CAVEATS)')
+         ELSE coalesce(max(cnt), 0) END AS max_abn_elems
+  FROM (SELECT iid, k, cid, count(*) AS cnt FROM elems GROUP BY 1, 2, 3)),
 -- root-cause strings: winning prefix elements (degenerate cuboids take
 -- every abnormal element), labels '&'-canonical; compound strings join
 -- ';' in sorted label order (see generator CAVEATS); set-dedup across
@@ -493,9 +510,10 @@ expl AS MATERIALIZED (
 {STAGE_B_TAIL}""")
     if batch:
         parts.append("""SELECT DISTINCT iid AS instance_id, root_cause
-FROM rcstr ORDER BY instance_id, root_cause""")
+FROM rcstr CROSS JOIN envguard ORDER BY instance_id, root_cause""")
     else:
-        parts.append("""SELECT DISTINCT root_cause FROM rcstr ORDER BY root_cause""")
+        parts.append("""SELECT DISTINCT root_cause FROM rcstr CROSS JOIN envguard
+ORDER BY root_cause""")
     return "\n".join(parts) + "\n"
 
 
