@@ -42,4 +42,30 @@ for fam in riskloc autoroot squeeze; do
     python3 "tools/${CHECK[$fam]}" "$SF" $s < /tmp/probe_out.txt
   done
 done
+# Batch-oracle matrix (VERDICT r12 #5): the same families through their
+# whole-corpus Batch* implementations and per-instance oracle variants,
+# with a DIFFERENT multiplier per instance so the instance_id-threaded
+# plumbing (per-instance prune lists, removals, guards) diverges across
+# instances — including mi=1.0 (no anomaly → empty per-instance result).
+BSCEN=("3.0 0.4 1.15" "0.5 2.5 1.0")
+for fam in riskloc squeeze autoroot; do
+  for s in "${BSCEN[@]}"; do
+    echo "=== batch $fam: $s ==="
+    # shellcheck disable=SC2086
+    if ! sbt -batch "runMain graft.runner.BatchProbe $fam $SF $s" 2>/dev/null \
+        > /tmp/probe_sbt.txt; then
+      echo "BATCH PROBE RUNNER FAILED ($fam: $s) — sbt exit status nonzero"
+      tail -5 /tmp/probe_sbt.txt
+      exit 1
+    fi
+    if ! grep -q '^PROBE_DONE$' /tmp/probe_sbt.txt; then
+      echo "BATCH PROBE RUNNER INCOMPLETE ($fam: $s) — no PROBE_DONE sentinel"
+      tail -5 /tmp/probe_sbt.txt
+      exit 1
+    fi
+    grep -E "^(RC|PRED)" /tmp/probe_sbt.txt > /tmp/probe_out.txt || true
+    # shellcheck disable=SC2086
+    python3 tools/check_batch_probe.py "$fam" "$SF" $s < /tmp/probe_out.txt
+  done
+done
 echo "ALL PROBES MATCH"
