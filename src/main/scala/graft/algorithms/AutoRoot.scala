@@ -72,12 +72,18 @@ object AutoRoot {
       when(abs(col("deviation")) > 0.2, clusterExpr(boundaries)).otherwise(lit(null)))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Per-cluster anomalous-leaf counts and global totals in one pass.
-    val clusterSizes = withCluster.filter(col("cluster").isNotNull)
-      .groupBy("cluster").agg(count(lit(1)).as("z"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val Row(nTotalAny: Long, tTermBAny: Double) = withCluster
-      .agg(count(lit(1)), sum(termB)).collect()(0)
+    // Per-cluster anomalous-leaf counts and global totals: two
+    // independent aggregations (different grouping, and the totals sum
+    // must keep its exact plan so the float fold order is untouched) —
+    // run them CONCURRENTLY so the driver pays one scheduling
+    // round-trip of latency, not two (round 13; the shared cached frame
+    // makes them read-only over the same blocks).
+    val sizeAndTotals = graft.core.Concurrency.awaitAll[Array[Row]](Seq(
+      () => withCluster.filter(col("cluster").isNotNull)
+        .groupBy("cluster").agg(count(lit(1)).as("z")).collect(),
+      () => withCluster.agg(count(lit(1)), sum(termB)).collect()))
+    val clusterSizes = sizeAndTotals(0).map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val Row(nTotalAny: Long, tTermBAny: Double) = sizeAndTotals(1)(0)
     val (nTotal, tTermB) = (nTotalAny, tTermBAny)
 
     val clusters = clusterSizes.keys.toSeq.sorted
@@ -120,8 +126,12 @@ object AutoRoot {
       // try/finally: a failing pass must not leave counts/cands cached for
       // the rest of the session (ADVICE r7)
       try {
+      // One action instead of an emptiness probe + distinct collect
+      // (round 13): an empty cid list IS the emptiness answer.
+      val candCids = cands.select("cid").distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq
       val rows: Array[Row] =
-        if (cands.limit(1).count() == 0) Array.empty
+        if (candCids.isEmpty) Array.empty
         else {
         // NPS statistics for every candidate element, two batched passes.
         // Selection semantics replicate the reference's layer>=2 quirk
@@ -135,8 +145,6 @@ object AutoRoot {
         // The probe side expands ONLY the cuboids that produced candidates
         // (exactly the rows the set-match join can keep; the other cuboids
         // paid the explode just to be discarded by the cid equality).
-        val candCids = cands.select("cid").distinct()
-          .collect().map(_.getInt(0)).sorted.toSeq
         val explodedC = Cuboids.expandIds(withCluster, candCids.map(c => c -> cuboids(c)))
         val candSel = broadcast(cands.select(col("cid").as("jcid"), col("key").as("jkey"),
           array_distinct(col("key")).as("jset")))

@@ -88,12 +88,19 @@ object BatchAutoRoot {
     import spark.implicits._
     val inst = col(instanceCol)
 
-    val allInstances: Seq[String] =
-      df0.select(inst.cast("string")).distinct().collect().map(_.getString(0)).toSeq
-    val empty: Map[String, Seq[RootCause]] = allInstances.map(_ -> Seq.empty[RootCause]).toMap
-
     val df = Snapshots.withDeviation(df0.withColumn(instanceCol, inst.cast("string")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Instance inventory AND per-instance anomalous-row counts from ONE
+    // pass over the cached frame (round 13; previously a distinct-collect
+    // over df0 plus a separate count over the anomalous slice — the
+    // deviation decoration is a projection, so the instance set is
+    // df0's). The same action materializes the persist.
+    val instRows = df.groupBy(inst.as("__i")).agg(
+      count(lit(1)), count(when(abs(col("deviation")) > 0.2, lit(1))).as("n_anom"))
+      .collect()
+    val allInstances: Seq[String] = instRows.map(_.getString(0)).toSeq
+    val empty: Map[String, Seq[RootCause]] = allInstances.map(_ -> Seq.empty[RootCause]).toMap
 
     // per-instance anomalous deviation vectors -> KDE minima boundaries.
     // Instances above statSampleCap are thinned by the SAME deterministic
@@ -101,8 +108,8 @@ object BatchAutoRoot {
     // Batch == sequential stays exact while the driver collect stays
     // bounded by instances x cap at any per-instance row count.
     val anomalous = df.filter(abs(col("deviation")) > 0.2)
-    val anomCounts: Map[String, Long] = anomalous.groupBy(inst.as("__i")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val anomCounts: Map[String, Long] = instRows
+      .collect { case r if r.getLong(2) > 0 => r.getString(0) -> r.getLong(2) }.toMap
     if (anomCounts.isEmpty) { df.unpersist(); return empty }
     val sampleKs = anomCounts.map { case (i, n) =>
       i -> (if (n > opt.statSampleCap) (n + opt.statSampleCap - 1) / opt.statSampleCap else 1L)
@@ -137,14 +144,21 @@ object BatchAutoRoot {
       .drop("__bi", "__bs")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // per-(instance, cluster) sizes and per-instance totals, one pass each
-    val clusterSizes: Map[(String, Int), Long] = timed("clusterSizes") { withCluster
-      .filter(col("cluster").isNotNull)
-      .groupBy(inst.as("__i"), col("cluster")).agg(count(lit(1)).as("z"))
-      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap }
-    val totals: Map[String, (Long, Double)] = timed("totals") { withCluster
-      .groupBy(inst.as("__i")).agg(count(lit(1)), sum(AutoRoot.termB))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap }
+    // per-(instance, cluster) sizes and per-instance totals: independent
+    // aggregations (different grouping; the totals sum keeps its exact
+    // plan so the float fold order is untouched) — run CONCURRENTLY so
+    // the driver pays one scheduling round-trip of latency, not two
+    // (round 13).
+    val sizeAndTotals = timed("clusterSizes+totals") {
+      graft.core.Concurrency.awaitAll[Array[org.apache.spark.sql.Row]](Seq(
+        () => withCluster.filter(col("cluster").isNotNull)
+          .groupBy(inst.as("__i"), col("cluster")).agg(count(lit(1)).as("z")).collect(),
+        () => withCluster.groupBy(inst.as("__i"))
+          .agg(count(lit(1)), sum(AutoRoot.termB)).collect())) }
+    val clusterSizes: Map[(String, Int), Long] =
+      sizeAndTotals(0).map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val totals: Map[String, (Long, Double)] =
+      sizeAndTotals(1).map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
 
     val sizeDf = broadcast(clusterSizes.toSeq.map { case ((i, k), z) => (i, k, z) }
       .toDF("__zi", "__zk", "__z"))

@@ -271,16 +271,27 @@ object BatchRobustSpot {
           // small instance batched next to a huge one keeps ALL its IDs
           // (one count action; the collected map is one row per instance)
           val positives = scored.filter(!isnan(col("ID")) && col("ID") > 0)
-          val fracs: Map[String, Double] = timed("kneeCount") {
-            positives.groupBy(inst).count().collect() }.map { r =>
-              val n = r.getLong(1)
-              r.get(0).toString -> (
-                if (opt.idSampleFraction < 1.0) opt.idSampleFraction
-                else if (n > opt.idSampleCap) opt.idSampleCap.toDouble / n
-                else 1.0)
-            }.toMap
+          // per-instance positive-ID rows ⊆ per-instance rows, already
+          // counted by the sums pass — the count action only runs when
+          // some instance might actually exceed the cap (round 13, one
+          // fewer serialized round-trip per roundPass). A fixed
+          // idSampleFraction needs no count either: the fraction applies
+          // regardless of n (instances without positives get a fracs row
+          // they never join).
+          val fracs: Map[String, Double] =
+            if (opt.idSampleFraction < 1.0)
+              sums.keysIterator.map(_.toString -> opt.idSampleFraction).toMap
+            else if (sums.valuesIterator.forall(_.n <= opt.idSampleCap))
+              Map.empty // frac 1 everywhere — no thinning, no count action
+            else timed("kneeCount") {
+              positives.groupBy(inst).count().collect() }.map { r =>
+                val n = r.getLong(1)
+                r.get(0).toString -> (
+                  if (n > opt.idSampleCap) opt.idSampleCap.toDouble / n
+                  else 1.0)
+              }.toMap
           val sampled =
-            if (fracs.values.forall(_ >= 1.0)) positives
+            if (fracs.isEmpty || fracs.values.forall(_ >= 1.0)) positives
             else {
               // deterministic leaf-hash thinning (same idiom as the
               // Squeeze/AutoRoot driver-statistic bounds): keep a row iff
@@ -544,30 +555,33 @@ object BatchRobustSpot {
           }
         }
 
-        val dimCauses: Map[String, Seq[Cause]] = withResults.map { i =>
-          val multi = mergeRes0(i).filter(_.length > 1)
-          i -> (multi.flatten ++ keepOf(i).values.filter(_.nonEmpty)).distinct
+        // ONE batched pass for every support count the collapse AND rank
+        // stages can ask for (round 13; previously two batchCounts
+        // passes over the persisted round-0 frame). Post-collapse causes
+        // are a subset of the pre-collapse entry causes plus the sorted
+        // keep candidates (collapseEntries only ever substitutes
+        // `keep.sortBy(_._1)`), so the per-instance union covers both
+        // lookups.
+        val allCauses: Map[String, Seq[Cause]] = withResults.map { i =>
+          val keeps = keepOf(i).values.filter(_.nonEmpty).toSeq
+          i -> (mergeRes0(i).flatten ++ keeps ++ keeps.map(_.sortBy(_._1))).distinct
         }.toMap
-        val dimCounts = batchCounts(dimCauses)
+        val allCounts = batchCounts(allCauses)
 
         val collapsed: Map[String, Seq[Seq[Cause]]] = withResults.map { i =>
-          val idxOf = dimCauses(i).zipWithIndex.toMap
+          val idxOf = allCauses(i).zipWithIndex.toMap
           def dimCount(c: Cause): Double =
-            dimCounts.get((i, idxOf(c))).map(_._1.toDouble).getOrElse(0.0)
+            allCounts.get((i, idxOf(c))).map(_._1.toDouble).getOrElse(0.0)
           val nBefore0 = totals0(i)._1
           i -> dedupeEntries(collapseEntries(mergeRes0(i), keepOf(i), dimCount, nBefore0))
         }.toMap
 
-        val finalCauses: Map[String, Seq[Cause]] =
-          collapsed.map { case (i, entries) => i -> entries.flatten.distinct }
-        val finalCounts = batchCounts(finalCauses)
-
         withResults.map { i =>
-          val idxOf = finalCauses(i).zipWithIndex.toMap
+          val idxOf = allCauses(i).zipWithIndex.toMap
           def beforeCount(c: Cause): Double =
-            finalCounts.get((i, idxOf(c))).map(_._1.toDouble).getOrElse(0.0)
+            allCounts.get((i, idxOf(c))).map(_._1.toDouble).getOrElse(0.0)
           def afterCount(c: Cause): Double =
-            finalCounts.get((i, idxOf(c))).map(_._2.toDouble).getOrElse(0.0)
+            allCounts.get((i, idxOf(c))).map(_._2.toDouble).getOrElse(0.0)
           val (nBefore0, nAfter0) = totals0(i)
           val entries = rankEntries(collapsed(i), beforeCount, afterCount,
             nBefore0, nAfter0, opt.k)

@@ -57,10 +57,6 @@ object BatchSqueeze {
     import spark.implicits._
     val inst = col(instanceCol)
 
-    val allInstances: Seq[String] =
-      df0.select(inst.cast("string")).distinct().collect().map(_.getString(0)).toSeq
-    val empty: Map[String, Seq[String]] = allInstances.map(_ -> Seq.empty[String]).toMap
-
     // validity filter + derived measure (squeeze.py:28-36)
     var df =
       if (opt.derived)
@@ -79,12 +75,21 @@ object BatchSqueeze {
       .withColumn("deviation", Squeeze.deviationCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // per-instance attribute cardinalities (auto score weight) and row
-    // counts (sampling decision) in one pass, BEFORE the vector collect
-    val cardRows = df.groupBy(inst.as("__i")).agg(
-      countDistinct(col(attributes.head)),
-      attributes.tail.map(a => countDistinct(col(a))) :+ count(lit(1)).as("n_rows"): _*)
-      .collect()
+    // Instance inventory (over the UNFILTERED input — instances whose
+    // rows all fail the validity filter still map to Seq.empty) and the
+    // per-instance cardinality/row-count pass are independent — run them
+    // CONCURRENTLY (round 13): one driver scheduling round-trip of
+    // latency instead of two serialized collects.
+    val cardFrame = df
+    val invAndCards = graft.core.Concurrency.awaitAll[Array[org.apache.spark.sql.Row]](Seq(
+      () => df0.select(inst.cast("string")).distinct().collect(),
+      () => cardFrame.groupBy(inst.as("__i")).agg(
+        countDistinct(col(attributes.head)),
+        attributes.tail.map(a => countDistinct(col(a))) :+ count(lit(1)).as("n_rows"): _*)
+        .collect()))
+    val allInstances: Seq[String] = invAndCards(0).map(_.getString(0)).toSeq
+    val empty: Map[String, Seq[String]] = allInstances.map(_ -> Seq.empty[String]).toMap
+    val cardRows = invAndCards(1)
     if (cardRows.isEmpty) { df.unpersist(); return empty }
     val cards: Map[String, Double] = cardRows
       .map(r => r.getString(0) -> (1 to attributes.size).map(r.getLong).sum.toDouble).toMap

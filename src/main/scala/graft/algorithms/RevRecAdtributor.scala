@@ -70,21 +70,48 @@ object RevRecAdtributor {
       PyHash.strHash).toList
   }
 
-  /** Full recursive drill-down (reference :38-74). */
+  /** Full recursive drill-down (reference :38-74).
+    *
+    * Round 13: the per-(candidate, element) sub-recursions are
+    * independent read-only Spark-action chains over disjoint (or
+    * reference-identically re-read) sub-frames, so they run on
+    * concurrent driver threads (graft.core.Concurrency, the
+    * RobustSpot-chains pattern) instead of serializing one driver
+    * round-trip per recursion node. Each subtree traces into a private
+    * buffer flushed in the sequential depth-first order, so the trace
+    * stream — and every collected number — is identical to the
+    * sequential loop's. */
   def run(df: DataFrame, dims: Seq[String], opt: Options = Options()): Seq[Candidate] = {
     val explanatory = revAdtributor(df, dims, opt)
 
-    val expanded = explanatory.flatMap { cand =>
+    // one task per (candidate, element) that needs a deeper recursion
+    val subs: Seq[(Int, Seq[(String, String)], String, Seq[String])] =
+      explanatory.zipWithIndex.flatMap { case (cand, ci) =>
+        val dim = cand.cuboid.head
+        val remaining = remainingDims(dims, dim)
+        if (remaining.isEmpty) Seq.empty
+        else cand.elements.map(elem => (ci, elem, dim, remaining))
+      }
+    val subResults: Map[(Int, Seq[(String, String)]), Seq[Candidate]] =
+      if (subs.isEmpty) Map.empty
+      else graft.core.Concurrency.awaitAll(subs.map {
+        case (ci, elem, dim, remaining) => () => {
+          val buf = collection.mutable.ArrayBuffer.empty[String]
+          val copt = opt.copy(trace = buf.append(_))
+          val sub = df.filter(col(dim) === elem.head._2)
+          ((ci, elem), run(sub, remaining, copt), buf)
+        }
+      }).map { case (k, r, buf) => buf.foreach(opt.trace); k -> r }.toMap
+
+    val expanded = explanatory.zipWithIndex.flatMap { case (cand, ci) =>
       val dim = cand.cuboid.head
       val remaining = remainingDims(dims, dim)
       if (remaining.isEmpty) Seq(cand)
       else {
-        // Recurse per candidate element; abandon the deep expansion if ANY
+        // Per-element deep expansions; abandon the deep expansion if ANY
         // element yields no deeper explanatory set (reference :56-63).
         val perElement = cand.elements.map { elem =>
-          val value = elem.head._2
-          val sub = df.filter(col(dim) === value)
-          run(sub, remaining, opt).map { es =>
+          subResults((ci, elem)).map { es =>
             es.copy(
               elements = es.elements.map(e => (e ++ elem).sortBy(_._1)),
               cuboid = (es.cuboid :+ dim).sorted,

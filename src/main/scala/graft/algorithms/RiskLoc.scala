@@ -230,7 +230,8 @@ object RiskLoc {
       adjEpThreshold: Double,
       pruned: collection.mutable.Map[String, collection.mutable.ArrayBuffer[String]],
       usePrune: Boolean,
-      opt: Options): Option[RootCause] = {
+      opt: Options,
+      epGate: Option[(() => Double, Double => Unit)] = None): Option[RootCause] = {
 
     val spark = df.sparkSession
     import spark.implicits._
@@ -247,7 +248,6 @@ object RiskLoc {
     // DAG (pass 2 consumes pass 1 as a lazy broadcast) and candidate
     // selection + the winner scan move driver-side: one scheduler
     // round-trip per iteration instead of two.
-    opt.trace("Layer: 1")
     val layer1 = attributes.map(Seq(_)).zipWithIndex
     // NOT persisted: the explode is a narrow codegen projection of the
     // cached scored frame, multiplied by the cuboid count — caching that
@@ -264,8 +264,31 @@ object RiskLoc {
       col("sreal").as("rsreal"), col("spred").as("rspred"))
     // columns: cid(0) key(1) ep(2) ep_z(3) part_sum(4) wa(5) wn(6)
     //          sreal(7) spred(8) w2(9) n_nz(10) w1(11)
-    val fused = agg1.join(ripplePass(exploded1, ratios1), Seq("cid", "key"), "left")
-      .collect()
+    def fusedCollect(): Array[Row] =
+      agg1.join(ripplePass(exploded1, ratios1), Seq("cid", "key"), "left").collect()
+    // Speculative continuation check (round 13, the BatchRiskLoc wave-1
+    // pattern brought to the sequential path): the caller's post-removal
+    // anomalous-EP-mass action and this iteration's stage-1 collect are
+    // independent reads of the same frame, so they run CONCURRENTLY; if
+    // the mass is below threshold the stage-1 results are DISCARDED
+    // before any prune update or winner scan, so the observable state is
+    // exactly the reference's (which never searches past the check).
+    // Trace lines are emitted post-wave in the sequential order
+    // (iteration line, then "Layer: 1").
+    val fused = epGate match {
+      case None =>
+        opt.trace("Layer: 1")
+        fusedCollect()
+      case Some((epThunk, traceIter)) =>
+        val wave = graft.core.Concurrency.awaitAll[AnyRef](Seq(
+          () => fusedCollect().asInstanceOf[AnyRef],
+          () => java.lang.Double.valueOf(epThunk())))
+        val epSum = wave(1).asInstanceOf[java.lang.Double].doubleValue
+        traceIter(epSum)
+        if (epSum < adjEpThreshold) return None
+        opt.trace("Layer: 1")
+        wave(0).asInstanceOf[Array[Row]]
+    }
 
     if (usePrune) {
       // riskloc.py:89-96: prune layer-1 elements that are entirely normal
@@ -347,37 +370,50 @@ object RiskLoc {
     val rootCauses = collection.mutable.ArrayBuffer.empty[RootCause]
 
     // Iteration 1's anomalous EP mass is already known from score() (its
-    // sign-flip negation is bit-exact); later iterations compute it on the
-    // action that also materializes the post-removal checkpoint — so the
-    // loop top pays zero Spark actions (VERDICT r6 #2).
-    var anomalyEpSum = epSum0
+    // sign-flip negation is bit-exact); later iterations' mass is
+    // computed CONCURRENTLY with their own stage-1 collect inside
+    // searchAnomaly (round 13, epGate — the action also materializes the
+    // post-removal lazy checkpoint), so the loop top pays zero extra
+    // Spark actions either way.
+    var pendingEp: Option[() => Double] = None
+    var toUnpersist: Option[DataFrame] = None
     var continue = true
     while (continue) {
-      opt.trace(s"Iteration ${rootCauses.size + 1}: anomalous ep sum $anomalyEpSum " +
-        s"threshold $adjEpThreshold")
-      if (anomalyEpSum < adjEpThreshold) continue = false
-      else {
-        val found = searchAnomaly(df, attributes, adjEpThreshold, pruned, usePrune, opt)
-        found match {
-          case None => continue = false
-          case Some(rc) =>
-            opt.trace(s"New best score: ${rc.labels.mkString(";")} risk ${rc.scores("risk")}")
-            rootCauses += rc
-            val mask = rc.cuboid.zip(rc.elements.head.pairs.map(_._2))
-              .map { case (a, v) => col(a) === v }.reduce(_ && _)
-            // lazy checkpoint: the epSum action below materializes it in
-            // the same round-trip (the old shape paid an eager-checkpoint
-            // job plus a loop-top epSum job)
-            val next = df.filter(!mask).localCheckpoint(false)
+      def traceIter(s: Double): Unit =
+        opt.trace(s"Iteration ${rootCauses.size + 1}: anomalous ep sum $s " +
+          s"threshold $adjEpThreshold")
+      val found: Option[RootCause] = pendingEp match {
+        case None =>
+          traceIter(epSum0)
+          if (epSum0 < adjEpThreshold) None
+          else searchAnomaly(df, attributes, adjEpThreshold, pruned, usePrune, opt)
+        case Some(thunk) =>
+          searchAnomaly(df, attributes, adjEpThreshold, pruned, usePrune, opt,
+            epGate = Some((thunk, traceIter)))
+      }
+      // the previous frame's cache is only released once the wave that
+      // materialized this frame's checkpoint (whose lineage reads it) ran
+      toUnpersist.foreach(_.unpersist()); toUnpersist = None
+      found match {
+        case None => continue = false
+        case Some(rc) =>
+          opt.trace(s"New best score: ${rc.labels.mkString(";")} risk ${rc.scores("risk")}")
+          rootCauses += rc
+          val mask = rc.cuboid.zip(rc.elements.head.pairs.map(_._2))
+            .map { case (a, v) => col(a) === v }.reduce(_ && _)
+          // lazy checkpoint: materialized by the next iteration's wave
+          val next = df.filter(!mask).localCheckpoint(false)
+          pendingEp = Some(() => {
             val epSumRow = next.filter(col("partition") === 1)
               .agg(graft.functions.Scores.pandasSum(col("ep"))).collect()(0)
-            anomalyEpSum = if (epSumRow.isNullAt(0)) 0.0 else epSumRow.getDouble(0)
-            df.unpersist()
-            df = next
-        }
+            if (epSumRow.isNullAt(0)) 0.0 else epSumRow.getDouble(0)
+          })
+          toUnpersist = Some(df)
+          df = next
       }
     }
     df.unpersist()
+    toUnpersist.foreach(_.unpersist())
     rootCauses.toSeq
   }
 

@@ -169,7 +169,7 @@ object RobustSpot {
 
   // --------------------------------------------------------- select/expand
 
-  private final case class RoundState(before: DataFrame, after: DataFrame,
+  private final case class RoundState(before: DataFrame,
       scoredWithTimes: DataFrame, cached: DataFrame) {
     /** The weighted expansion rows (screened, positive times). */
     def expand: DataFrame = scoredWithTimes
@@ -206,8 +206,13 @@ object RobustSpot {
         graft.kernels.PyListSort.sort(pairs).filter(_ > 0)
       } else {
         val positives = scored.filter(!isnan(col("ID")) && col("ID") > 0)
+        // positive-ID rows ⊆ the frame's rows, and the sums pass already
+        // counted those (s.n) — when the whole frame fits the cap no
+        // count action is needed at all (round 13, guide §1.2/§2.4: one
+        // fewer serialized driver round-trip per screening round)
         val frac =
           if (opt.idSampleFraction < 1.0) opt.idSampleFraction
+          else if (s.n <= opt.idSampleCap) 1.0
           else {
             val n = positives.count()
             if (n > opt.idSampleCap) opt.idSampleCap.toDouble / n else 1.0
@@ -253,7 +258,7 @@ object RobustSpot {
       if (opt.derived) (col("ID") * col("CA") * opt.lambdaAmplification).cast("long")
       else (col("ID") * opt.lambdaAmplification).cast("long")
     val swt = scored.withColumn("__after", afterCond).withColumn("__times", times)
-    RoundState(scored.drop("ID", "CA"), scored.filter(afterCond), swt, scored)
+    RoundState(scored.drop("ID", "CA"), swt, scored)
   }
 
   // --------------------------------------------------------------- mining
@@ -443,17 +448,6 @@ object RobustSpot {
     NumpyArgsort.argsort(deltas.toArray).take(k).toSeq.map(mergeRes)
   }
 
-  /** Batched itemset counts plus the table's row count, in ONE
-    * conditional-aggregation pass (the total rides along as the first
-    * aggregate, so no separate `count()` action — VERDICT r6 #2). */
-  private def causeCounts(df: DataFrame, causes: Seq[Cause]): (Map[Cause, Long], Long) = {
-    val aggs = count(lit(1)).as("c_total") +: causes.zipWithIndex.map { case (cz, i) =>
-      count(when(cz.map { case (a, v) => col(a) === lit(v) }.reduce(_ && _), lit(1))).as(s"c_$i")
-    }
-    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    (causes.zipWithIndex.map { case (cz, i) => cz -> r.getLong(i + 1) }.toMap, r.getLong(0))
-  }
-
   // ------------------------------------------------------------------ run
 
   private def dropCause(df: DataFrame, cause: Cause): DataFrame =
@@ -505,20 +499,37 @@ object RobustSpot {
     // entry collapses. Replicate the no-op — "fixing" it to strings
     // changes which entries merge and breaks corpus parity (RS_SWEEP.md).
 
-    val before0 = states(0).before
-    val after0 = states(0).after
     val multi = mergeRes.filter(_.length > 1)
     val keepOf = keepCandidates(multi)
     val dimCauses = (multi.flatten ++ keepOf.values.filter(_.nonEmpty)).distinct
-    val (dimCounts, nBefore0L) = causeCounts(before0, dimCauses)
-    val nBefore0 = nBefore0L.toDouble
-    mergeRes = collapseEntries(mergeRes, keepOf, c => dimCounts(c).toDouble, nBefore0)
+    // ONE conditional-aggregation pass over round-0's scored frame for
+    // every support count the merge/collapse/rank stages can ask for
+    // (round 13; previously THREE causeCounts actions: dim counts on
+    // before0, then before/after counts on the post-collapse final
+    // causes). The post-collapse causes are a subset of the pre-collapse
+    // entry causes plus the keep candidates (collapseEntries only ever
+    // substitutes `keep.sortBy(_._1)`), so counting the union up front
+    // covers all three tables; before0 = all scored rows and after0 =
+    // the __after-screened rows, so both counts ride one frame.
+    val allCauses = (dimCauses ++ mergeRes.flatten ++
+      keepOf.values.filter(_.nonEmpty).map(_.sortBy(_._1))).distinct
+    val swt0 = states(0).scoredWithTimes
+    val countAggs = Seq(count(lit(1)).as("t_b"),
+      count(when(col("__after"), lit(1))).as("t_a")) ++
+      allCauses.zipWithIndex.flatMap { case (cz, i) =>
+        val m = cz.map { case (a, v) => col(a) === lit(v) }.reduce(_ && _)
+        Seq(count(when(m, lit(1))).as(s"b_$i"),
+          count(when(m && col("__after"), lit(1))).as(s"a_$i"))
+      }
+    val cr = swt0.agg(countAggs.head, countAggs.tail: _*).collect()(0)
+    val nBefore0 = cr.getLong(0).toDouble
+    val nAfter0 = cr.getLong(1).toDouble
+    val beforeCounts: Map[Cause, Long] =
+      allCauses.zipWithIndex.map { case (cz, i) => cz -> cr.getLong(2 + 2 * i) }.toMap
+    val afterCounts: Map[Cause, Long] =
+      allCauses.zipWithIndex.map { case (cz, i) => cz -> cr.getLong(3 + 2 * i) }.toMap
+    mergeRes = collapseEntries(mergeRes, keepOf, c => beforeCounts(c).toDouble, nBefore0)
     mergeRes = dedupeEntries(mergeRes)
-
-    val finalCauses = mergeRes.flatten.distinct
-    val (beforeCounts, _) = causeCounts(before0, finalCauses)
-    val (afterCounts, nAfter0L) = causeCounts(after0, finalCauses)
-    val nAfter0 = nAfter0L.toDouble
     val result = rankEntries(mergeRes, c => beforeCounts(c).toDouble,
       c => afterCounts(c).toDouble, nBefore0, nAfter0, opt.k)
 
