@@ -55,16 +55,24 @@ object AutoRoot {
 
     // KDE clustering of anomalous deviations; above statSampleCap the
     // vector is thinned by the deterministic leaf-hash filter (same
-    // leaves as BatchAutoRoot — Options.statSampleCap doc)
+    // leaves as BatchAutoRoot — Options.statSampleCap doc).
+    // Count and collect are ONE capped aggregation pass (round 13): the
+    // common below-cap case pays a single action (the vector arrives with
+    // its count); only an above-cap frame re-collects with the thinning
+    // filter — exactly the two actions this path always cost.
     val anomalous = df.filter(abs(col("deviation")) > 0.2)
-    val nAnom = anomalous.count()
+    val cappedRow = anomalous.agg(graft.functions.VectorAgg
+      .collectVectorCapped(col("deviation"), opt.statSampleCap).as("cv")).collect()(0)
+      .getStruct(0)
+    val nAnom = cappedRow.getLong(0)
     val sampleK =
       if (nAnom > opt.statSampleCap) (nAnom + opt.statSampleCap - 1) / opt.statSampleCap else 1L
-    val devSrc =
-      if (sampleK > 1)
-        anomalous.filter(pmod(xxhash64(attributes.map(col): _*), lit(sampleK)) === 0)
-      else anomalous
-    val devs = graft.functions.VectorAgg.collectToDriver(devSrc, col("deviation")).sorted
+    val devs =
+      if (sampleK > 1) {
+        val devSrc =
+          anomalous.filter(pmod(xxhash64(attributes.map(col): _*), lit(sampleK)) === 0)
+        graft.functions.VectorAgg.collectToDriver(devSrc, col("deviation")).sorted
+      } else cappedRow.getSeq[Double](1).toArray.sorted
     if (devs.isEmpty) { df.unpersist(); return Seq.empty }
     val boundaries = clusterBoundaries(devs)
 

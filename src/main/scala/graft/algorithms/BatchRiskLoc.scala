@@ -462,8 +462,12 @@ object BatchRiskLoc {
     val inst = col(instanceCol)
     val (scored0, adjThreshold0, base) = scoreAll(df0, instanceCol, opt)
     var df = scored0.persist(StorageLevel.MEMORY_AND_DISK)
-    df.count()
-    base.unpersist()
+    // base stays cached until the first wave materializes the scored
+    // frame (round 13; the explicit count-to-materialize action is gone —
+    // wave-1's two concurrent actions are the materializer, and releasing
+    // base before them would recompute the scored lineage from raw input)
+    var baseToRelease: Option[DataFrame] = Some(base)
+    var toUnpersist: Option[DataFrame] = None
 
     val pruned = collection.mutable.Map
       .empty[String, collection.mutable.Map[String, collection.mutable.ArrayBuffer[String]]]
@@ -487,6 +491,10 @@ object BatchRiskLoc {
       val thresholds = adjThreshold0.filter { case (i, _) => active.contains(i) }
       val (found, ranDeep) = searchAll(df.filter(inst.isin(active.toSeq: _*)), instanceCol,
         attributes, thresholds, pruned, speculateDeep, deepCapLayer, opt)
+      // caches feeding the frame the wave just materialized are only
+      // released after it ran (round 13 — lazy-checkpoint deferral)
+      toUnpersist.foreach(_.unpersist()); toUnpersist = None
+      baseToRelease.foreach(_.unpersist()); baseToRelease = None
       speculateDeep = ranDeep
       val deepFoundLayers = found.values.map(_.layer).filter(_ >= 2)
       if (deepFoundLayers.nonEmpty)
@@ -501,12 +509,19 @@ object BatchRiskLoc {
           inst === i && rc.cuboid.zip(rc.elements.head.pairs.map(_._2))
             .map { case (a, v) => col(a) === v }.reduce(_ && _)
         }.reduce(_ || _)
+        // checkpoint stays EAGER here: a lazy one materializes inside a
+        // much later wave, after the source execution's weakly-referenced
+        // metric accumulators are GC-cleaned — every checkpoint task then
+        // logs an ERROR accumulator-update failure (observed round 13;
+        // results unaffected, but 60 stack traces per run is not hygiene
+        // worth one scheduler round-trip per iteration)
         val next = df.filter(!removeCond).localCheckpoint(true)
-        df.unpersist()
+        toUnpersist = Some(df)
         df = next
       }
     }
     df.unpersist()
+    toUnpersist.foreach(_.unpersist())
     results.map { case (k, v) => k -> v.toSeq }.toMap
   }
 }

@@ -362,8 +362,11 @@ object RiskLoc {
   def run(df0: DataFrame, attributes: Seq[String], opt: Options = Options()): Seq[RootCause] = {
     val (scored0, adjEpThreshold, base, epSum0) = score(df0, opt)
     var df = scored0.persist(StorageLevel.MEMORY_AND_DISK)
-    df.count() // materialize before the loop
-    base.unpersist()
+    // base stays cached until the first stage-1 wave materializes the
+    // scored frame (round 13; the explicit count-to-materialize action
+    // is gone — the wave is the materializer, and releasing base before
+    // it would recompute the scored lineage from the raw input)
+    var baseToRelease: Option[DataFrame] = Some(base)
 
     val pruned = collection.mutable.Map.empty[String, collection.mutable.ArrayBuffer[String]]
     val usePrune = opt.pruneElements
@@ -394,6 +397,7 @@ object RiskLoc {
       // the previous frame's cache is only released once the wave that
       // materialized this frame's checkpoint (whose lineage reads it) ran
       toUnpersist.foreach(_.unpersist()); toUnpersist = None
+      baseToRelease.foreach(_.unpersist()); baseToRelease = None
       found match {
         case None => continue = false
         case Some(rc) =>

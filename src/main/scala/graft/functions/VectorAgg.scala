@@ -99,11 +99,117 @@ final case class CollectDoubleVector(
     copy(child = newChild)
 }
 
+/** Capped variant of [[DoubleVectorBuffer]]: always counts every update,
+  * but keeps the values only while the count stays at or below `cap` —
+  * past it the data is dropped and the buffer reports overflow. Lets a
+  * caller fuse "count, then collect iff the count fits the driver cap"
+  * into ONE aggregation pass for the common (fits) case; the rare
+  * overflow case re-collects with deterministic thinning exactly as
+  * before (round 13). */
+final class CappedDoubleVectorBuffer(val cap: Long) {
+  var inner: DoubleVectorBuffer = new DoubleVectorBuffer()
+  var count: Long = 0L
+  def overflowed: Boolean = inner == null
+
+  private def drop(): Unit = inner = null
+
+  def add(v: Double): Unit = {
+    count += 1
+    if (!overflowed) {
+      if (count > cap) drop() else inner.add(v)
+    }
+  }
+
+  def merge(other: CappedDoubleVectorBuffer): Unit = {
+    count += other.count
+    if (!overflowed) {
+      if (other.overflowed || count > cap) drop()
+      else inner.merge(other.inner)
+    }
+  }
+
+  def serialize(): Array[Byte] = {
+    val payload = if (overflowed) Array.empty[Byte] else inner.serialize()
+    val bb = java.nio.ByteBuffer.allocate(8 + 1 + payload.length)
+    bb.putLong(count)
+    bb.put(if (overflowed) 1.toByte else 0.toByte)
+    bb.put(payload)
+    bb.array()
+  }
+}
+
+object CappedDoubleVectorBuffer {
+  def deserialize(bytes: Array[Byte], cap: Long): CappedDoubleVectorBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new CappedDoubleVectorBuffer(cap)
+    buf.count = bb.getLong
+    if (bb.get() == 1.toByte) buf.inner = null
+    else {
+      val rest = new Array[Byte](bb.remaining())
+      bb.get(rest)
+      buf.inner = DoubleVectorBuffer.deserialize(rest)
+    }
+    buf
+  }
+}
+
+/** `collect_vector_capped(x, cap)`: one pass yielding
+  * struct(n: count of non-null inputs, vs: the values iff n <= cap else
+  * null). Null inputs are skipped like [[CollectDoubleVector]]. */
+final case class CollectDoubleVectorCapped(
+    child: Expression,
+    cap: Long,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[CappedDoubleVectorBuffer] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): CappedDoubleVectorBuffer =
+    new CappedDoubleVectorBuffer(cap)
+
+  override def update(buffer: CappedDoubleVectorBuffer, input: InternalRow): CappedDoubleVectorBuffer = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Double])
+    buffer
+  }
+
+  override def merge(buffer: CappedDoubleVectorBuffer, other: CappedDoubleVectorBuffer): CappedDoubleVectorBuffer = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: CappedDoubleVectorBuffer): Any =
+    InternalRow(buffer.count,
+      if (buffer.overflowed) null else new GenericArrayData(buffer.inner.toArray))
+
+  override def serialize(buffer: CappedDoubleVectorBuffer): Array[Byte] = buffer.serialize()
+  override def deserialize(storageFormat: Array[Byte]): CappedDoubleVectorBuffer =
+    CappedDoubleVectorBuffer.deserialize(storageFormat, cap)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("vs", ArrayType(DoubleType, containsNull = false), nullable = true)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "collect_vector_capped"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CollectDoubleVectorCapped =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CollectDoubleVectorCapped =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CollectDoubleVectorCapped =
+    copy(child = newChild)
+}
+
 object VectorAgg {
   /** Aggregate a double column into one array<double>. */
   def collectVector(c: Column): Column =
     ColumnBridge.column(
       CollectDoubleVector(ColumnBridge.expression(c)).toAggregateExpression())
+
+  /** One-pass count + bounded collect: struct(n, vs) with vs null when
+    * n exceeds `cap` (see [[CollectDoubleVectorCapped]]). */
+  def collectVectorCapped(c: Column, cap: Long): Column =
+    ColumnBridge.column(
+      CollectDoubleVectorCapped(ColumnBridge.expression(c), cap).toAggregateExpression())
 
   /** Convenience: run the aggregate and return the driver-side array. */
   def collectToDriver(df: org.apache.spark.sql.DataFrame, c: Column): Array[Double] =

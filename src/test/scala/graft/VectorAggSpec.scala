@@ -39,4 +39,44 @@ class VectorAggSpec extends AnyFunSuite {
     assert(back.toArray.take(2).toSeq == Seq(1.5, -2.5))
     assert(back.size == 4)
   }
+
+  test("capped vector below cap returns count and full content") {
+    val df = (1 to 500).map(_.toDouble).toDF("x").repartition(7)
+    val r = df.agg(VectorAgg.collectVectorCapped(col("x"), 1000L).as("cv"))
+      .collect()(0).getStruct(0)
+    assert(r.getLong(0) == 500L)
+    assert(r.getSeq[Double](1).sorted == (1 to 500).map(_.toDouble))
+  }
+
+  test("capped vector above cap keeps the exact count and drops the data") {
+    val df = (1 to 2000).map(_.toDouble).toDF("x").repartition(13)
+    val r = df.agg(VectorAgg.collectVectorCapped(col("x"), 100L).as("cv"))
+      .collect()(0).getStruct(0)
+    assert(r.getLong(0) == 2000L)
+    assert(r.isNullAt(1))
+  }
+
+  test("capped vector skips nulls in the count too") {
+    val df = Seq[java.lang.Double](1.0, null, 3.0).toDF("x")
+    val r = df.agg(VectorAgg.collectVectorCapped(col("x"), 10L).as("cv"))
+      .collect()(0).getStruct(0)
+    assert(r.getLong(0) == 2L)
+    assert(r.getSeq[Double](1).sorted == Seq(1.0, 3.0))
+  }
+
+  test("capped buffer overflow survives serialization and merge") {
+    val a = new graft.functions.CappedDoubleVectorBuffer(3)
+    Seq(1.0, 2.0).foreach(a.add)
+    val b = new graft.functions.CappedDoubleVectorBuffer(3)
+    Seq(3.0, 4.0).foreach(b.add)
+    a.merge(graft.functions.CappedDoubleVectorBuffer.deserialize(b.serialize(), 3))
+    assert(a.count == 4L && a.overflowed)
+    val back = graft.functions.CappedDoubleVectorBuffer.deserialize(a.serialize(), 3)
+    assert(back.count == 4L && back.overflowed)
+    // merging an overflowed buffer into a small one overflows it too
+    val c = new graft.functions.CappedDoubleVectorBuffer(3)
+    c.add(9.0)
+    c.merge(back)
+    assert(c.count == 5L && c.overflowed)
+  }
 }
