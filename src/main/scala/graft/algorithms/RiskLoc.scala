@@ -231,7 +231,8 @@ object RiskLoc {
       pruned: collection.mutable.Map[String, collection.mutable.ArrayBuffer[String]],
       usePrune: Boolean,
       opt: Options,
-      epGate: Option[(() => Double, Double => Unit)] = None): Option[RootCause] = {
+      epGate: Option[(() => Double, Double => Unit)] = None,
+      deepCapLayer: Int = 2): Option[RootCause] = {
 
     val spark = df.sparkSession
     import spark.implicits._
@@ -324,37 +325,52 @@ object RiskLoc {
     }
     if (nAttrs == 1) return None
 
-    // ---- stage 2: every deeper layer in one pass
-    opt.trace(s"Layers 2-$nAttrs (single batched pass)")
+    // ---- stage 2: deeper layers. Layer-capped like BatchRiskLoc
+    // (round 13; the r8 batch win brought to the sequential path): winner
+    // selection takes the SHALLOWEST deep layer with any winner, so the
+    // near pass covers only layers 2..cap (cap = last found deep layer
+    // + 1, remove-and-repeat causes cluster at one depth) and the far
+    // layers run solely as a fallback when the near pass finds nothing —
+    // exactly equivalent, because a near winner shadows any deeper one
+    // and a near miss means layers <= cap contribute nothing. At the H
+    // shape the far layers are most of the 57-cuboid explode.
     val deep = (2 to nAttrs).flatMap(l => attributes.combinations(l).toSeq)
       .zipWithIndex.map { case (c, i) => (c, i + nAttrs) }
     val deepCuboids = deep.map(_._1)
     def layerOf(cid: Int): Int = deepCuboids(cid - nAttrs).size
+    val cap = math.min(math.max(2, deepCapLayer), nAttrs)
+    val deepNear = deep.filter(_._1.size <= cap)
+    val deepFar = deep.filter(_._1.size > cap)
+    opt.trace(s"Layers 2-$nAttrs (batched near pass to layer $cap)")
 
-    val exploded2 = expandCuboids(df, deep, _ => prunedNew)
-    val candsDeep = exploded2
-      .groupBy(col("cb.cid").as("cid"), col("cb.key").as("key"))
-      .agg(graft.functions.Scores.pandasSum(col("ep")).as("ep"),
-        (sum("partition").as("part_sum") +: riskAggCols): _*)
-      .filter(col("part_sum") > 0 && col("ep") > adjEpThreshold)
-      .select("cid", "key", "ep", "wa", "wn", "sreal", "spred", "w2", "n_nz")
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("cid").orderBy(desc("ep"))))
-      .filter(col("rn") <= opt.maxCandidatesPerCuboid)
-      .drop("rn")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    def deepPass(subset: Seq[(Seq[String], Int)]): Option[RootCause] = {
+      val exploded2 = expandCuboids(df, subset, _ => prunedNew)
+      val candsDeep = exploded2
+        .groupBy(col("cb.cid").as("cid"), col("cb.key").as("key"))
+        .agg(graft.functions.Scores.pandasSum(col("ep")).as("ep"),
+          (sum("partition").as("part_sum") +: riskAggCols): _*)
+        .filter(col("part_sum") > 0 && col("ep") > adjEpThreshold)
+        .select("cid", "key", "ep", "wa", "wn", "sreal", "spred", "w2", "n_nz")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("cid").orderBy(desc("ep"))))
+        .filter(col("rn") <= opt.maxCandidatesPerCuboid)
+        .drop("rn")
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val winners = riskWinners(exploded2, candsDeep, opt, cid => deepCuboids(cid - nAttrs))
-    candsDeep.unpersist()
+      val winners = riskWinners(exploded2, candsDeep, opt, cid => deepCuboids(cid - nAttrs))
+      candsDeep.unpersist()
 
-    (2 to nAttrs).iterator
-      .map(layer => winners.values.filter(w => layerOf(w.cid) == layer).toSeq
-        .sortBy(w => (-w.ep, w.cid)).headOption)
-      .collectFirst { case Some(w) =>
-        val cuboid = deepCuboids(w.cid - nAttrs)
-        RootCause(Seq(Element(cuboid, w.key)), cuboid, cuboid.size,
-          Map("ep" -> w.ep, "high_risk" -> w.high, "low_risk" -> w.low, "risk" -> w.risk))
-      }
+      (2 to nAttrs).iterator
+        .map(layer => winners.values.filter(w => layerOf(w.cid) == layer).toSeq
+          .sortBy(w => (-w.ep, w.cid)).headOption)
+        .collectFirst { case Some(w) =>
+          val cuboid = deepCuboids(w.cid - nAttrs)
+          RootCause(Seq(Element(cuboid, w.key)), cuboid, cuboid.size,
+            Map("ep" -> w.ep, "high_risk" -> w.high, "low_risk" -> w.low, "risk" -> w.risk))
+        }
+    }
+
+    deepPass(deepNear).orElse(if (deepFar.nonEmpty) deepPass(deepFar) else None)
   }
 
   /** Full RiskLoc: score, then remove-and-repeat search
@@ -380,6 +396,10 @@ object RiskLoc {
     // Spark actions either way.
     var pendingEp: Option[() => Double] = None
     var toUnpersist: Option[DataFrame] = None
+    // Deep-layer CAP hint, exactly as BatchRiskLoc: remove-and-repeat
+    // causes cluster at one depth, so the near deep pass covers layers
+    // 2..(last found deep layer + 1); deeper layers run as a fallback.
+    var deepCapLayer = 2
     var continue = true
     while (continue) {
       def traceIter(s: Double): Unit =
@@ -389,11 +409,14 @@ object RiskLoc {
         case None =>
           traceIter(epSum0)
           if (epSum0 < adjEpThreshold) None
-          else searchAnomaly(df, attributes, adjEpThreshold, pruned, usePrune, opt)
+          else searchAnomaly(df, attributes, adjEpThreshold, pruned, usePrune, opt,
+            deepCapLayer = deepCapLayer)
         case Some(thunk) =>
           searchAnomaly(df, attributes, adjEpThreshold, pruned, usePrune, opt,
-            epGate = Some((thunk, traceIter)))
+            epGate = Some((thunk, traceIter)), deepCapLayer = deepCapLayer)
       }
+      found.filter(_.layer >= 2).foreach(rc =>
+        deepCapLayer = math.min(attributes.size, rc.layer + 1))
       // the previous frame's cache is only released once the wave that
       // materialized this frame's checkpoint (whose lineage reads it) ran
       toUnpersist.foreach(_.unpersist()); toUnpersist = None
