@@ -49,31 +49,20 @@ object BatchHotSpot {
     val df = df0.withColumn(instanceCol, inst.cast("string"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val totals: Map[String, Totals] = df.groupBy(inst.as("__i")).agg(
-      count(lit(1)),
-      sum(abs(col("real") - col("predict"))),
-      sum(pow(col("real") - col("predict"), 2.0)))
-      .collect()
-      .map(r => r.getString(0) -> Totals(r.getLong(1), r.getDouble(2), r.getDouble(3)))
-      .toMap
-
-    val rngs: Map[String, scala.util.Random] =
-      totals.keys.map(i => i -> new scala.util.Random(opt.seed)).toMap
-    val candidates = collection.mutable.Map.empty[String, collection.mutable.ArrayBuffer[Candidate]]
-    for (i <- totals.keys) candidates(i) = collection.mutable.ArrayBuffer.empty
-    val result = collection.mutable.Map.empty[String, Candidate]
-    var active: Seq[String] = totals.keys.toSeq.sorted
-
     def nanToNum(c: org.apache.spark.sql.Column) =
       when(isnan(c), 0.0)
         .when(c === Double.PositiveInfinity, Double.MaxValue)
         .when(c === Double.NegativeInfinity, Double.MinValue)
         .otherwise(c)
 
-    var layer = 1
-    while (layer <= attributes.size && active.nonEmpty) {
+    /** One layer's per-(instance, cuboid, element) stats for the given
+      * active set (two-pass DAG, one action). */
+    def layerStats(layer: Int, activeSet: Option[Seq[String]]): (Seq[Seq[String]], Array[org.apache.spark.sql.Row]) = {
       val cuboids = attributes.combinations(layer).toSeq
-      val activeDf = df.join(broadcast(active.toDF(instanceCol)), Seq(instanceCol), "left_semi")
+      val activeDf = activeSet match {
+        case Some(a) => df.join(broadcast(a.toDF(instanceCol)), Seq(instanceCol), "left_semi")
+        case None => df // layer 1: every instance is active
+      }
       // NOT persisted: the explode is a narrow projection of a cached
       // parent multiplied by the cuboid count; caching that blowup spills
       // at H scale (block-manager eviction lock pileup, VERDICT r7) while
@@ -107,6 +96,36 @@ object BatchHotSpot {
 
       val collected = stats1.join(stats2, Seq("__i", "cid", "key")).collect()
       stats1.unpersist()
+      (cuboids, collected)
+    }
+
+    // Per-instance totals and the layer-1 stats pass are independent —
+    // ONE concurrent wave (round 13; layer 1 runs for every instance, so
+    // it needs no active-set semi-join). The totals aggregation keeps
+    // its exact plan, so each instance's float fold is untouched.
+    val wave0 = graft.core.Concurrency.awaitAll[AnyRef](Seq(
+      () => df.groupBy(inst.as("__i")).agg(
+        count(lit(1)),
+        sum(abs(col("real") - col("predict"))),
+        sum(pow(col("real") - col("predict"), 2.0)))
+        .collect().asInstanceOf[AnyRef],
+      () => layerStats(1, None).asInstanceOf[AnyRef]))
+    val totals: Map[String, Totals] = wave0(0).asInstanceOf[Array[org.apache.spark.sql.Row]]
+      .map(r => r.getString(0) -> Totals(r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val layer1Stats = wave0(1).asInstanceOf[(Seq[Seq[String]], Array[org.apache.spark.sql.Row])]
+
+    val rngs: Map[String, scala.util.Random] =
+      totals.keys.map(i => i -> new scala.util.Random(opt.seed)).toMap
+    val candidates = collection.mutable.Map.empty[String, collection.mutable.ArrayBuffer[Candidate]]
+    for (i <- totals.keys) candidates(i) = collection.mutable.ArrayBuffer.empty
+    val result = collection.mutable.Map.empty[String, Candidate]
+    var active: Seq[String] = totals.keys.toSeq.sorted
+
+    var layer = 1
+    while (layer <= attributes.size && active.nonEmpty) {
+      val (cuboids, collected) =
+        if (layer == 1) layer1Stats else layerStats(layer, Some(active))
 
       val byInstCid = collected.groupBy(r => (r.getString(0), r.getInt(1)))
       for (i <- active) {

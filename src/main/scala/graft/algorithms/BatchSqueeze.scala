@@ -180,22 +180,36 @@ object BatchSqueeze {
     // per-(instance, cluster) subset totals — layer-invariant, ONE pass.
     // L1 masses are EXACT sums throughout this DAG (see Squeeze.run and
     // graft.kernels.ExactSum): scores must be functions of the row set
-    // alone or the reference's cross-cuboid ties are lost
+    // alone or the reference's cross-cuboid ties are lost.
+    // Round 13: the action runs on a background driver thread and is
+    // first read at scoring time (after the layer-1 stats collect), so
+    // it overlaps the layer-1 pass instead of serializing ahead of it.
+    // The active set comes from the cluster table instead: every
+    // interval contains at least one member leaf's deviation (intervals
+    // are [min, max] over member deviations of rows present in df), so
+    // every (instance, cluster) pair has subset rows and the two sets
+    // are identical.
     import graft.functions.ExactSumAgg.exactSum
     import graft.kernels.ExactSum
-    val totals: Map[(String, Int), (Long, Array[Long])] = joined.filter(col("__ins"))
-      .groupBy(inst.as("__i"), col("__cl"))
-      .agg(count(lit(1)).as("n"), exactSum(abs(col("real") - col("predict"))).as("l1"))
-      .collect()
-      .map(r => (r.getString(0), r.getInt(1)) ->
-        (r.getLong(2), ExactSum.deserialize(r.getAs[Array[Byte]](3)))).toMap
+    val totalsFuture = new java.util.concurrent.FutureTask[Map[(String, Int), (Long, Array[Long])]](
+      () => joined.filter(col("__ins"))
+        .groupBy(inst.as("__i"), col("__cl"))
+        .agg(count(lit(1)).as("n"), exactSum(abs(col("real") - col("predict"))).as("l1"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1)) ->
+          (r.getLong(2), ExactSum.deserialize(r.getAs[Array[Byte]](3)))).toMap)
+    locally {
+      val t = new Thread(totalsFuture, "graft-batchsqueeze-totals")
+      t.setDaemon(true); t.start()
+    }
 
     def derivedColOr(name: String): Column =
       if (joined.columns.contains(name)) col(name) else lit(0.0)
 
+    val activePairs0: Set[(String, Int)] = clusterRows.map(r => (r._1, r._2)).toSet
     val results = collection.mutable.Map.empty[(String, Int), collection.mutable.ArrayBuffer[CuboidResult]]
-    for (k <- totals.keys) results(k) = collection.mutable.ArrayBuffer.empty
-    var active: Set[(String, Int)] = totals.keySet.toSet
+    for (k <- activePairs0) results(k) = collection.mutable.ArrayBuffer.empty
+    var active: Set[(String, Int)] = activePairs0
 
     var layer = 1
     while (layer <= attributes.size && active.nonEmpty) {
@@ -310,7 +324,7 @@ object BatchSqueeze {
           val rc = pl.elems.map(e => Element(cuboid, e._1)).toSeq
           buf += CuboidResult(pl.cid, layer, rc, Double.NegativeInfinity, pl.elems.length)
         } else {
-          val (nSubTotal, l1SubTotal) = totals((pl.inst, pl.cl))
+          val (nSubTotal, l1SubTotal) = totalsFuture.get()((pl.inst, pl.cl))
           val l1aRow = l1Terms.get((pl.inst, pl.cl, pl.cid))
           var cumN = 0L
           val cumL1 = ExactSum.newAcc()

@@ -193,14 +193,6 @@ object HotSpot {
     val usePruning = opt.scoring != "gps"
     val df = df0.persist(StorageLevel.MEMORY_AND_DISK)
 
-    val Row(tn: Long, tAbs: Double, tSq: Double) = df.agg(
-      count(lit(1)),
-      sum(abs(col("real") - col("predict"))),
-      sum(pow(col("real") - col("predict"), 2.0))).collect()(0)
-    val totals = Totals(tn, tAbs, tSq)
-
-    val rng = new scala.util.Random(opt.seed)
-    val candidates = collection.mutable.ArrayBuffer.empty[Candidate]
     // nan_to_num: NaN -> 0, ±Inf -> ±DBL_MAX (numpy semantics)
     def nanToNum(c: org.apache.spark.sql.Column) =
       when(isnan(c), 0.0)
@@ -208,7 +200,9 @@ object HotSpot {
         .when(c === Double.NegativeInfinity, Double.MinValue)
         .otherwise(c)
 
-    for (layer <- 1 to attributes.size) {
+    /** One layer's per-element decomposed stats (two-pass DAG, one
+      * action). Not persisted between layers — see the explode note. */
+    def layerStats(layer: Int): (Seq[Seq[String]], Array[Row]) = {
       val cuboids = attributes.combinations(layer).toSeq
       // NOT persisted: the explode is a narrow projection of a cached
       // parent multiplied by the cuboid count; caching that blowup spills
@@ -241,6 +235,27 @@ object HotSpot {
 
       val collected = stats1.join(stats2, Seq("cid", "key")).collect()
       stats1.unpersist()
+      (cuboids, collected)
+    }
+
+    // The global totals and the layer-1 stats pass are independent — run
+    // them as ONE concurrent wave (round 13); the totals sum keeps its
+    // exact single-aggregation plan, so the float fold is untouched.
+    val wave0 = graft.core.Concurrency.awaitAll[AnyRef](Seq(
+      () => df.agg(
+        count(lit(1)),
+        sum(abs(col("real") - col("predict"))),
+        sum(pow(col("real") - col("predict"), 2.0))).collect()(0).asInstanceOf[AnyRef],
+      () => layerStats(1).asInstanceOf[AnyRef]))
+    val Row(tn: Long, tAbs: Double, tSq: Double) = wave0(0).asInstanceOf[Row]
+    val totals = Totals(tn, tAbs, tSq)
+    val layer1Stats = wave0(1).asInstanceOf[(Seq[Seq[String]], Array[Row])]
+
+    val rng = new scala.util.Random(opt.seed)
+    val candidates = collection.mutable.ArrayBuffer.empty[Candidate]
+
+    for (layer <- 1 to attributes.size) {
+      val (cuboids, collected) = if (layer == 1) layer1Stats else layerStats(layer)
 
       val byCid = collected.groupBy(_.getInt(0))
       for ((cuboid, cid) <- cuboids.zipWithIndex) {

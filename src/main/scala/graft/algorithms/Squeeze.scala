@@ -214,17 +214,27 @@ object Squeeze {
     // ALL clusters in ONE action (VERDICT r6 #2): they depend only on the
     // cluster interval, not the layer, so the old per-layer recomputation
     // inside locateInCluster collapses into this single batched agg.
-    val subTotalsRow = df.agg(
-      count(when(clusterSubset(intervals.head, isNormal), lit(1))),
-      intervals.tail.flatMap { iv => Seq(
-        count(when(clusterSubset(iv, isNormal), lit(1)))) } ++
-      intervals.map { iv =>
-        graft.functions.ExactSumAgg.exactSum(
-          when(clusterSubset(iv, isNormal), abs(col("real") - col("predict"))).otherwise(0.0)) }: _*)
-      .collect()(0)
-    val subTotals: Seq[(Long, Array[Long])] = intervals.indices.map { i =>
-      (subTotalsRow.getLong(i),
-        graft.kernels.ExactSum.deserialize(subTotalsRow.getAs[Array[Byte]](intervals.size + i))) }
+    // Round 13: the action runs on a background driver thread — the
+    // cluster searches need the totals only at scoring time (after their
+    // first stats collect), so it overlaps their first pass instead of
+    // serializing ahead of them.
+    val subTotalsFuture = new java.util.concurrent.FutureTask[Seq[(Long, Array[Long])]](() => {
+      val subTotalsRow = df.agg(
+        count(when(clusterSubset(intervals.head, isNormal), lit(1))),
+        intervals.tail.flatMap { iv => Seq(
+          count(when(clusterSubset(iv, isNormal), lit(1)))) } ++
+        intervals.map { iv =>
+          graft.functions.ExactSumAgg.exactSum(
+            when(clusterSubset(iv, isNormal), abs(col("real") - col("predict"))).otherwise(0.0)) }: _*)
+        .collect()(0)
+      intervals.indices.map { i =>
+        (subTotalsRow.getLong(i),
+          graft.kernels.ExactSum.deserialize(subTotalsRow.getAs[Array[Byte]](intervals.size + i))) }
+    })
+    locally {
+      val t = new Thread(subTotalsFuture, "graft-squeeze-subtotals")
+      t.setDaemon(true); t.start()
+    }
 
     // Cluster searches are independent (read-only over the shared cached
     // frame): run them on concurrent driver threads so their many small
@@ -235,13 +245,13 @@ object Squeeze {
     // sequential loop did (SqTrace diffs against the reference rely on
     // deterministic line order).
     val rootCauses = graft.core.Concurrency.awaitAll(
-      intervals.zip(subTotals).map { case ((lo, hi), (nSubTotal, l1SubTotal)) => () => {
+      intervals.zipWithIndex.map { case ((lo, hi), idx) => () => {
         val buf = collection.mutable.ArrayBuffer.empty[String]
         val copt = opt.copy(trace = buf.append(_))
         val members = devs.filter(d => d >= lo && d <= hi)
         copt.trace(s"CLUSTER n=${members.length} devmin=${members.min} devmax=${members.max}")
         val rc = locateInCluster(df, attributes, lo, hi, isNormal, scoreWeight,
-          nSubTotal, l1SubTotal, copt)
+          () => subTotalsFuture.get()(idx), copt)
         rc.foreach(r => copt.trace(s"  PICK ${r.map(_.label).sorted.mkString(";")}"))
         (rc, buf)
       } })
@@ -305,16 +315,21 @@ object Squeeze {
     (col("deviation") >= interval._1 && col("deviation") <= interval._2) || isNormal
 
   /** One cluster's search (squeeze.py:241-275). Returns the root cause as
-    * a set of Elements. `nSubTotal`/`l1SubTotal` are the cluster's subset
-    * totals, batched for all clusters by the caller. */
+    * a set of Elements. `subTotal` yields the cluster's subset totals
+    * (count + L1 mass), batched for all clusters by the caller on a
+    * background action — first read at scoring time, after this
+    * cluster's own stats pass has already run. */
   private def locateInCluster(
       df: DataFrame, attributes: Seq[String],
       lo: Double, hi: Double, isNormal: Column,
-      scoreWeight: Double, nSubTotal: Long, l1SubTotal: Array[Long],
+      scoreWeight: Double, subTotal: () => (Long, Array[Long]),
       opt: Options): Option[Seq[Element]] = {
 
     val inCluster: Column = col("deviation") >= lo && col("deviation") <= hi
     val inSubset: Column = inCluster || isNormal
+    // blocks on the background subset-totals action only at first use —
+    // i.e. at scoring, after this cluster's stats pass already ran
+    lazy val (nSubTotal, l1SubTotal) = subTotal()
     // a/b measure components exist only for derived datasets
     def derivedColOr(name: String): Column =
       if (df.columns.contains(name)) col(name) else lit(0.0)
