@@ -99,21 +99,18 @@ object BatchHotSpot {
       (cuboids, collected)
     }
 
-    // Per-instance totals and the layer-1 stats pass are independent —
-    // ONE concurrent wave (round 13; layer 1 runs for every instance, so
-    // it needs no active-set semi-join). The totals aggregation keeps
-    // its exact plan, so each instance's float fold is untouched.
-    val wave0 = graft.core.Concurrency.awaitAll[AnyRef](Seq(
-      () => df.groupBy(inst.as("__i")).agg(
-        count(lit(1)),
-        sum(abs(col("real") - col("predict"))),
-        sum(pow(col("real") - col("predict"), 2.0)))
-        .collect().asInstanceOf[AnyRef],
-      () => layerStats(1, None).asInstanceOf[AnyRef]))
-    val totals: Map[String, Totals] = wave0(0).asInstanceOf[Array[org.apache.spark.sql.Row]]
+    // Totals run FIRST, serially: the corpus cache is COLD here under the
+    // bench isolation, and two concurrent first actions each compute the
+    // whole cached lineage — duplicating the corpus materialization
+    // (HotSpot.run has the full note). Layer 1 still skips the
+    // active-set semi-join (every instance is active at layer 1).
+    val totals: Map[String, Totals] = df.groupBy(inst.as("__i")).agg(
+      count(lit(1)),
+      sum(abs(col("real") - col("predict"))),
+      sum(pow(col("real") - col("predict"), 2.0)))
+      .collect()
       .map(r => r.getString(0) -> Totals(r.getLong(1), r.getDouble(2), r.getDouble(3)))
       .toMap
-    val layer1Stats = wave0(1).asInstanceOf[(Seq[Seq[String]], Array[org.apache.spark.sql.Row])]
 
     val rngs: Map[String, scala.util.Random] =
       totals.keys.map(i => i -> new scala.util.Random(opt.seed)).toMap
@@ -125,7 +122,7 @@ object BatchHotSpot {
     var layer = 1
     while (layer <= attributes.size && active.nonEmpty) {
       val (cuboids, collected) =
-        if (layer == 1) layer1Stats else layerStats(layer, Some(active))
+        if (layer == 1) layerStats(1, None) else layerStats(layer, Some(active))
 
       val byInstCid = collected.groupBy(r => (r.getString(0), r.getInt(1)))
       for (i <- active) {

@@ -75,21 +75,20 @@ object BatchSqueeze {
       .withColumn("deviation", Squeeze.deviationCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Instance inventory (over the UNFILTERED input — instances whose
-    // rows all fail the validity filter still map to Seq.empty) and the
-    // per-instance cardinality/row-count pass are independent — run them
-    // CONCURRENTLY (round 13): one driver scheduling round-trip of
-    // latency instead of two serialized collects.
-    val cardFrame = df
-    val invAndCards = graft.core.Concurrency.awaitAll[Array[org.apache.spark.sql.Row]](Seq(
-      () => df0.select(inst.cast("string")).distinct().collect(),
-      () => cardFrame.groupBy(inst.as("__i")).agg(
-        countDistinct(col(attributes.head)),
-        attributes.tail.map(a => countDistinct(col(a))) :+ count(lit(1)).as("n_rows"): _*)
-        .collect()))
-    val allInstances: Seq[String] = invAndCards(0).map(_.getString(0)).toSeq
+    // Instance inventory stays over the UNFILTERED input (instances whose
+    // rows all fail the validity filter still map to Seq.empty) and runs
+    // SERIALLY before the cardinality pass: both frames are cold under
+    // the bench isolation, and concurrent first actions would each
+    // compute the shared cached corpus lineage (HotSpot.run has the full
+    // duplicate-materialization note). The distinct materializes the
+    // corpus; cardRows then reads warm caches.
+    val allInstances: Seq[String] =
+      df0.select(inst.cast("string")).distinct().collect().map(_.getString(0)).toSeq
     val empty: Map[String, Seq[String]] = allInstances.map(_ -> Seq.empty[String]).toMap
-    val cardRows = invAndCards(1)
+    val cardRows = df.groupBy(inst.as("__i")).agg(
+      countDistinct(col(attributes.head)),
+      attributes.tail.map(a => countDistinct(col(a))) :+ count(lit(1)).as("n_rows"): _*)
+      .collect()
     if (cardRows.isEmpty) { df.unpersist(); return empty }
     val cards: Map[String, Double] = cardRows
       .map(r => r.getString(0) -> (1 to attributes.size).map(r.getLong).sum.toDouble).toMap

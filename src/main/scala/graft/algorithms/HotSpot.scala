@@ -238,24 +238,24 @@ object HotSpot {
       (cuboids, collected)
     }
 
-    // The global totals and the layer-1 stats pass are independent — run
-    // them as ONE concurrent wave (round 13); the totals sum keeps its
-    // exact single-aggregation plan, so the float fold is untouched.
-    val wave0 = graft.core.Concurrency.awaitAll[AnyRef](Seq(
-      () => df.agg(
-        count(lit(1)),
-        sum(abs(col("real") - col("predict"))),
-        sum(pow(col("real") - col("predict"), 2.0))).collect()(0).asInstanceOf[AnyRef],
-      () => layerStats(1).asInstanceOf[AnyRef]))
-    val Row(tn: Long, tAbs: Double, tSq: Double) = wave0(0).asInstanceOf[Row]
+    // Totals run FIRST, serially: under the bench's clearCache isolation
+    // the input cache is COLD here, and two concurrent first actions
+    // each compute the whole cached lineage (per-partition block-write
+    // races), duplicating the snapshot aggregation — worse than the one
+    // scheduler round-trip an overlap would save (measured round 13; the
+    // overlap idea stays in Squeeze/BatchSqueeze where the cache is
+    // already materialized when the background action starts).
+    val Row(tn: Long, tAbs: Double, tSq: Double) = df.agg(
+      count(lit(1)),
+      sum(abs(col("real") - col("predict"))),
+      sum(pow(col("real") - col("predict"), 2.0))).collect()(0)
     val totals = Totals(tn, tAbs, tSq)
-    val layer1Stats = wave0(1).asInstanceOf[(Seq[Seq[String]], Array[Row])]
 
     val rng = new scala.util.Random(opt.seed)
     val candidates = collection.mutable.ArrayBuffer.empty[Candidate]
 
     for (layer <- 1 to attributes.size) {
-      val (cuboids, collected) = if (layer == 1) layer1Stats else layerStats(layer)
+      val (cuboids, collected) = layerStats(layer)
 
       val byCid = collected.groupBy(_.getInt(0))
       for ((cuboid, cid) <- cuboids.zipWithIndex) {
