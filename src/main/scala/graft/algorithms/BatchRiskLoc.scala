@@ -108,7 +108,7 @@ object BatchRiskLoc {
 
   /** Batched RiskLoc.score: cutoff, partition, weight, EP sign, ep_z. */
   private def scoreAll(df0: DataFrame, instanceCol: String,
-      opt: RiskLoc.Options): (DataFrame, Map[String, Double], DataFrame) = {
+      opt: RiskLoc.Options): (DataFrame, Map[String, Double], DataFrame, Map[String, Double]) = {
     val inst = col(instanceCol)
     val base = Snapshots.withDeviation(withEp(df0, inst, opt))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -134,13 +134,18 @@ object BatchRiskLoc {
     val flip = cut.keys.map(i => i -> (epSums.getOrElse(i, 0.0) < 0)).toMap
     val adjThreshold = cut.keys.map(i =>
       i -> math.abs(epSums.getOrElse(i, 0.0)) * opt.pepThreshold).toMap
+    // Iteration 1's anomalous EP mass is ALREADY this pass's |eps| —
+    // IEEE negation is bit-exact, so the sign-flipped frame's
+    // partition-1 sum equals it (the sequential score() epSum0 argument,
+    // ported round 13) — the first searchAll wave skips its mass action.
+    val epMass0 = cut.keys.map(i => i -> math.abs(epSums.getOrElse(i, 0.0))).toMap
 
     df = lookupCol(df, instanceCol,
       flip.map { case (i, f) => i -> (if (f) -1.0 else 1.0) }, "__sign")
       .withColumn("ep", col("ep") * col("__sign"))
       .withColumn("ep_z", when(col("ep") > 0, col("ep")).otherwise(0.0))
       .drop("__cut", "__sign")
-    (df, adjThreshold, base)
+    (df, adjThreshold, base, epMass0)
   }
 
   private type PruneState = Map[String, Seq[String]] // attr -> pruned values
@@ -275,7 +280,8 @@ object BatchRiskLoc {
       adjThreshold: Map[String, Double],
       pruned: collection.mutable.Map[String, collection.mutable.Map[String, collection.mutable.ArrayBuffer[String]]],
       speculateDeep: Boolean, deepCapLayer: Int,
-      opt: RiskLoc.Options): (Map[String, RootCause], Boolean) = {
+      opt: RiskLoc.Options,
+      knownEpMass: Option[Map[String, Double]] = None): (Map[String, RootCause], Boolean) = {
     val spark = df.sparkSession
     import spark.implicits._
     val inst = col(instanceCol)
@@ -296,20 +302,29 @@ object BatchRiskLoc {
     // manager under 32-way eviction (observed r7) — recomputing per pass
     // is map-side CPU only.
     val exploded1 = expand(df, instanceCol, attributes, layer1, statesOld)
-    val wave1 = graft.core.Concurrency.awaitAll[Array[Row]](Seq(
-      () => df.filter(col("partition") === 1)
-        .groupBy(inst.as("__i")).agg(Scores.pandasSum(col("ep")).as("__eps"))
-        .collect(),
-      () => exploded1
-        .groupBy(inst.as("inst"), col("cb.cid").as("cid"), col("cb.key").as("key"))
-        .agg(Scores.pandasSum(col("ep")).as("ep"),
-          (Seq(sum("ep_z").as("ep_z"), sum("partition").as("part_sum")) ++ riskAggCols): _*)
-        .collect()))
-    val epMass = wave1(0).map(r =>
-      r.getString(0) -> (if (r.isNullAt(1)) 0.0 else r.getDouble(1))).toMap
+    val agg1Task: () => Array[Row] = () => exploded1
+      .groupBy(inst.as("inst"), col("cb.cid").as("cid"), col("cb.key").as("key"))
+      .agg(Scores.pandasSum(col("ep")).as("ep"),
+        (Seq(sum("ep_z").as("ep_z"), sum("partition").as("part_sum")) ++ riskAggCols): _*)
+      .collect()
+    // Iteration 1's per-instance EP mass is known from scoreAll (bit-exact
+    // sign-flip, see its note) — the wave then has a single task; later
+    // iterations compute the post-removal mass concurrently as before.
+    val (epMass, rawAgg1) = knownEpMass match {
+      case Some(known) => (known, agg1Task())
+      case None =>
+        val wave1 = graft.core.Concurrency.awaitAll[Array[Row]](Seq(
+          () => df.filter(col("partition") === 1)
+            .groupBy(inst.as("__i")).agg(Scores.pandasSum(col("ep")).as("__eps"))
+            .collect(),
+          agg1Task))
+        (wave1(0).map(r =>
+          r.getString(0) -> (if (r.isNullAt(1)) 0.0 else r.getDouble(1))).toMap,
+          wave1(1))
+    }
     val instances = instances0.filter(i => epMass.getOrElse(i, 0.0) >= adjThreshold(i))
     if (instances.isEmpty) return (Map.empty, false)
-    val epsA = wave1(1).filter(r => instances.contains(r.getString(0)))
+    val epsA = rawAgg1.filter(r => instances.contains(r.getString(0)))
 
     if (usePrune) {
       epsA.foreach { r =>
@@ -460,7 +475,7 @@ object BatchRiskLoc {
   def run(df0: DataFrame, instanceCol: String, attributes: Seq[String],
       opt: RiskLoc.Options = RiskLoc.Options()): Map[String, Seq[RootCause]] = {
     val inst = col(instanceCol)
-    val (scored0, adjThreshold0, base) = scoreAll(df0, instanceCol, opt)
+    val (scored0, adjThreshold0, base, epMass0) = scoreAll(df0, instanceCol, opt)
     var df = scored0.persist(StorageLevel.MEMORY_AND_DISK)
     // base stays cached until the first wave materializes the scored
     // frame (round 13; the explicit count-to-materialize action is gone —
@@ -482,6 +497,7 @@ object BatchRiskLoc {
     // layers 2..cap (last found deep layer + 1); deeper layers run as a
     // fallback for instances the near pass left unfound. Starts at 2.
     var deepCapLayer = 2
+    var firstIteration = true
 
     while (active.nonEmpty) {
       // searchAll runs the per-instance continuation check (anomalous EP
@@ -490,7 +506,9 @@ object BatchRiskLoc {
       // cause this iteration.
       val thresholds = adjThreshold0.filter { case (i, _) => active.contains(i) }
       val (found, ranDeep) = searchAll(df.filter(inst.isin(active.toSeq: _*)), instanceCol,
-        attributes, thresholds, pruned, speculateDeep, deepCapLayer, opt)
+        attributes, thresholds, pruned, speculateDeep, deepCapLayer, opt,
+        knownEpMass = if (firstIteration) Some(epMass0) else None)
+      firstIteration = false
       // caches feeding the frame the wave just materialized are only
       // released after it ran (round 13 — lazy-checkpoint deferral)
       toUnpersist.foreach(_.unpersist()); toUnpersist = None
