@@ -2,7 +2,7 @@ package graft.algorithms
 
 import graft.algorithms.RevRecAdtributor.{Candidate, Options}
 import graft.functions.Scores
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -63,29 +63,40 @@ object BatchRevRecAdtributor {
       .select((col(instanceCol) +: (attributes ++ measures).map(col)): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val instances = base.select(col(instanceCol)).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
-
     var nextNid = 0L
     def newNid(): Long = { val n = nextNid; nextNid += 1; n }
-    val roots = instances.map(i => Node(newNid(), i, Seq.empty, attributes))
+    val roots = collection.mutable.ArrayBuffer.empty[Node]
     val nodeOf = collection.mutable.Map.empty[Long, Node]
-    roots.foreach(n => nodeOf(n.nid) = n)
     val topks = collection.mutable.Map.empty[Long, Seq[NodeCand]]
     val children = collection.mutable.Map.empty[(Long, String, String), Long]
 
     val attrMap = map(attributes.flatMap(a => Seq(lit(a), col(a))): _*)
 
-    var frontier: Seq[Node] = roots
-    while (frontier.nonEmpty) {
-      val frontierDf = broadcast(frontier
-        .map(n => (n.nid, n.instance, n.path.toMap, n.dims, n.dims.size))
-        .toDF("__nid", "__inst", "__pathm", "__dims", "__nd"))
-
+    // Level 1 (round 14, guide §2.4/§3): the frontier is one root per
+    // instance with an EMPTY path and the full dimension list, so the
+    // fan-out join is an identity join on the instance key and the meta
+    // join attaches constants — both (plus the up-front distinct-instance
+    // collect) are replaced by keying the aggregation on the instance
+    // column directly. Roots are derived from the level-1 rows: every
+    // instance with rows produces at least one per-dimension group, the
+    // same set the distinct used to collect. Deeper levels keep the
+    // broadcast-frontier fan-out unchanged.
+    var frontier: Seq[Node] = Seq.empty
+    var level = 1
+    var more = true
+    while (more) {
       // fan out: a row joins every frontier node whose path it satisfies
-      val rows = base.join(frontierDf,
-        col(instanceCol) === col("__inst") &&
-          graft.functions.MapMatches.matchesAll(col("__pathm"), attrMap))
+      // (level 1: every node's path is empty — key rows by instance)
+      val rows =
+        if (level == 1) base.withColumn("__nid", col(instanceCol))
+        else {
+          val frontierDf = broadcast(frontier
+            .map(n => (n.nid, n.instance, n.path.toMap, n.dims, n.dims.size))
+            .toDF("__nid", "__inst", "__pathm", "__dims", "__nd"))
+          base.join(frontierDf,
+            col(instanceCol) === col("__inst") &&
+              graft.functions.MapMatches.matchesAll(col("__pathm"), attrMap))
+        }
 
       // merged per (nid, dimension, element): grouping sets with nid in
       // every set — ONE aggregation for all nodes and all dimensions
@@ -101,11 +112,17 @@ object BatchRevRecAdtributor {
           measures.map(col)): _*)
       // restrict to each node's OWN dimension list (nodes deeper in the
       // generated-corpus tree have shrunk dims), attach totals + |dims|
-      val meta = broadcast(frontier.map(n => (n.nid, n.dims, n.dims.size.toDouble))
-        .toDF("__mn", "__mdims", "__mn_dims"))
-      val mergedF = merged0
-        .join(meta, col("__nid") === col("__mn"))
-        .filter(array_contains(col("__mdims"), col("dimension")))
+      // (level 1: every node's dims = the full attribute list — the
+      // restriction is a no-op and |dims| is a constant, no join needed)
+      val mergedF =
+        if (level == 1) merged0.withColumn("__mn_dims", lit(attributes.size.toDouble))
+        else {
+          val meta = broadcast(frontier.map(n => (n.nid, n.dims, n.dims.size.toDouble))
+            .toDF("__mn", "__mdims", "__mn_dims"))
+          merged0
+            .join(meta, col("__nid") === col("__mn"))
+            .filter(array_contains(col("__mdims"), col("dimension")))
+        }
       // per-node totals over the MERGED element rows (each dimension's
       // elements sum to the node total, so this is |dims| x the node
       // total — exactly the sequential scoredElements' 1-row aggregate,
@@ -152,10 +169,21 @@ object BatchRevRecAdtributor {
           count(when(passes, lit(1))).as("n_cand"))
         .collect()
 
-      val byNode = perDim.groupBy(_.getLong(0))
+      if (level == 1) {
+        // roots derive from the level-1 aggregation itself: its collected
+        // keys ARE the distinct instances (sorted, like the old collect)
+        val instances = perDim.map(_.getString(0)).distinct.sorted
+        roots ++= instances.map(i => Node(newNid(), i, Seq.empty, attributes))
+        roots.foreach(n => nodeOf(n.nid) = n)
+        frontier = roots.toSeq
+      }
+      val byNode: Map[String, Array[Row]] =
+        if (level == 1) perDim.groupBy(_.getString(0))
+        else perDim.groupBy(_.getLong(0).toString)
+      def keyOf(nd: Node): String = if (level == 1) nd.instance else nd.nid.toString
       val next = collection.mutable.ArrayBuffer.empty[Node]
       for (nd <- frontier) {
-        val byDim = byNode.getOrElse(nd.nid, Array.empty).flatMap { r =>
+        val byDim = byNode.getOrElse(keyOf(nd), Array.empty).flatMap { r =>
           val dim = r.getString(1)
           val (nTotal, nCand) = (r.getLong(5), r.getLong(6))
           opt.trace(s"BNODE ${nd.path.map { case (d, v) => s"$d=$v" }.mkString("/")} " +
@@ -180,6 +208,8 @@ object BatchRevRecAdtributor {
         }
       }
       frontier = next.toSeq
+      level += 1
+      more = frontier.nonEmpty
     }
     base.unpersist()
 

@@ -188,7 +188,8 @@ object BatchRobustSpot {
       * order. */
     def roundPass(roundFor: String => Int, frame: DataFrame,
         sink: String => Unit = effOpt.trace, persistFlags: Boolean = false)
-        : (Map[String, Seq[Cause]], DataFrame, Map[String, (Double, Double)], Long) = {
+        : (Map[String, Seq[Cause]], DataFrame, Map[String, (Double, Double)], Long,
+          Option[Map[String, Array[RobustSpot.MineRow]]]) = {
       def traceFor(i: String): Options =
         effOpt.copy(trace = s => sink(s"[$i] $s"))
       // --- global sums per instance (ID_CA.py:5-9,29-39)
@@ -225,7 +226,7 @@ object BatchRobustSpot {
         }
       if (sums.isEmpty)
         return (Map.empty, frame.limit(0).withColumn("__after", lit(false))
-          .withColumn("__times", lit(0L)), Map.empty, 0L)
+          .withColumn("__times", lit(0L)), Map.empty, 0L, None)
 
       // Size-aware round caching: the sums pass just counted every
       // instance's rows, so the frame size is known for free. Small
@@ -241,6 +242,15 @@ object BatchRobustSpot {
       // sequential-winning 4.8M x 4 = 19.2M one.
       val frameRows = sums.valuesIterator.map(_.n).sum
       val cacheRound = frameRows <= knobs.roundCacheMaxRows
+      // Driver-mine fast path (round 14, guide §1.2 — the sequential
+      // selectExpand note): when the whole round frame fits driverMineCap
+      // and no knee thinning can apply, ONE collect of the scored rows
+      // serves every per-instance knee input, the weighted modes, the
+      // bitmask histograms AND (round 0) the final batched support counts
+      // — 2 actions per roundPass instead of 4, and no batchCounts action.
+      val driverMine = !parity && opt.idSampleFraction >= 1.0 &&
+        frameRows <= opt.driverMineCap &&
+        sums.valuesIterator.forall(_.n <= opt.idSampleCap)
 
       // --- ID / CA columns from broadcast per-instance scalars
       val sumsDf = sums.toSeq.map { case (i, s) =>
@@ -250,12 +260,36 @@ object BatchRobustSpot {
         .withColumn("ID", idColFrom(col("__kF"), col("__kV"), col("__nm1")))
         .withColumn("CA", caColFrom(col("__rate1"), col("__mF"), col("__dF")))
         .drop("__si", "__kF", "__kV", "__nm1", "__mF", "__dF", "__rate1")
+      // under driver-mine the single collect below is the only consumer of
+      // the scored frame — a persist would only add a cache-build job
       val scored =
-        if (cacheRound) scored0.persist(StorageLevel.MEMORY_AND_DISK) else scored0
+        if (cacheRound && !driverMine) scored0.persist(StorageLevel.MEMORY_AND_DISK)
+        else scored0
+
+      val rawByInst: Map[String, Array[(Array[String], Double, Double)]] =
+        if (!driverMine) Map.empty
+        else {
+          val n = attributes.length
+          timed("mineCollect") {
+            scored.select(inst +: attributes.map(col) :+ col("ID") :+ col("CA"): _*)
+              .collect()
+          }.groupBy(_.getString(0)).map { case (i, rs) =>
+            i -> rs.map(r => (Array.tabulate(n)(j => r.getString(1 + j)),
+              if (r.isNullAt(n + 1)) Double.NaN else r.getDouble(n + 1),
+              if (r.isNullAt(n + 2)) Double.NaN else r.getDouble(n + 2)))
+          }
+        }
 
       // --- knee threshold per instance (select_expand.py:39-62)
       val idVecs: Map[String, Array[Double]] =
-        if (parity) {
+        if (driverMine) {
+          // same per-instance vector the distributed pass collected:
+          // NaN/non-positive IDs screened, ascending sort, no thinning
+          // (every instance fits idSampleCap under the driver-mine gate)
+          rawByInst.map { case (i, raw) =>
+            i -> raw.collect { case (_, id, _) if !id.isNaN && id > 0 => id }.sorted
+          }
+        } else if (parity) {
           scored.groupBy(inst.as("__i")).agg(
             VectorAgg.collectVector(col("__row").cast("double")).as("rowv"),
             VectorAgg.collectVector(coalesce(col("ID"), lit(Double.NaN))).as("idv"))
@@ -325,24 +359,50 @@ object BatchRobustSpot {
         .withColumn("__after", afterCond)
         .withColumn("__times", times)
       val flagged =
-        if (persistFlags || cacheRound) flagged0.persist(StorageLevel.MEMORY_AND_DISK)
+        if ((persistFlags || cacheRound) && !driverMine)
+          flagged0.persist(StorageLevel.MEMORY_AND_DISK)
         else flagged0
+
+      // driver-mined rows per instance: screening flag + expansion weight
+      // from the collected ID/CA with the same IEEE ops the Catalyst
+      // expressions above use (RobustSpot.mkMineRows)
+      val minedRows: Option[Map[String, Array[RobustSpot.MineRow]]] =
+        if (!driverMine) None
+        else Some(rawByInst.map { case (i, raw) =>
+          i -> RobustSpot.mkMineRows(raw, thresholds(i), effOpt)
+        })
 
       // --- weighted per-attribute modes, ties to the smallest value
       // (mining.py:9-13), one pass for every instance and attribute
-      val av = explode(array(attributes.map(a =>
-        struct(lit(a).as("attr"), col(a).as("value"))): _*)).as("av")
-      val modeRows = timed("modes") { flagged.filter(col("__after") && col("__times") >= 1)
-        .select(inst.as("__i"), av, col("__times").as("w"))
-        .groupBy(col("__i"), col("av.attr").as("attr"), col("av.value").as("value"))
-        .agg(sum("w").as("cnt"))
-        .collect() }
-      val modes: Map[String, Map[String, String]] = modeRows.groupBy(_.getString(0))
-        .map { case (i, rows) =>
-          i -> rows.groupBy(_.getString(1)).map { case (attr, vs) =>
-            attr -> vs.minBy(r => (-r.getLong(3), r.getString(2))).getString(2)
+      // (driver-mine: a scan of the held rows — no action)
+      val modes: Map[String, Map[String, String]] = minedRows match {
+        case Some(byInst) =>
+          byInst.flatMap { case (i, rows) =>
+            val expandRows = rows.filter(r => r.after && r.times >= 1)
+            if (expandRows.isEmpty) None
+            else Some(i -> attributes.indices.map { j =>
+              val counts = collection.mutable.Map.empty[String, Long]
+              expandRows.foreach { r =>
+                counts(r.values(j)) = counts.getOrElse(r.values(j), 0L) + r.times
+              }
+              attributes(j) -> counts.minBy { case (v, c) => (-c, v) }._1
+            }.toMap)
           }
-        }
+        case None =>
+          val av = explode(array(attributes.map(a =>
+            struct(lit(a).as("attr"), col(a).as("value"))): _*)).as("av")
+          val modeRows = timed("modes") { flagged.filter(col("__after") && col("__times") >= 1)
+            .select(inst.as("__i"), av, col("__times").as("w"))
+            .groupBy(col("__i"), col("av.attr").as("attr"), col("av.value").as("value"))
+            .agg(sum("w").as("cnt"))
+            .collect() }
+          modeRows.groupBy(_.getString(0))
+            .map { case (i, rows) =>
+              i -> rows.groupBy(_.getString(1)).map { case (attr, vs) =>
+                attr -> vs.minBy(r => (-r.getLong(3), r.getString(2))).getString(2)
+              }
+            }
+      }
 
       // --- ONE (instance, bitmask) histogram pass; bit i <=> attributes(i)
       // equals the instance's mode (mining.py:33-52 batched corpus-wide)
@@ -354,39 +414,54 @@ object BatchRobustSpot {
         rcOut(i) = Seq.empty
       }
       if (minedInstances.nonEmpty) {
-        val modesDf = minedInstances.map(i => (i, modes(i))).toDF("__mi", "__modes")
-        val mask = attributes.zipWithIndex.map { case (a, i) =>
-          when(col(a) === element_at(col("__modes"), lit(a)), 1 << i).otherwise(0)
-        }.reduce(_ + _)
-        val hists = timed("hists") { flagged.join(broadcast(modesDf), inst === col("__mi"))
-          .groupBy(inst.as("__i"), mask.as("mask"))
-          .agg(
-            count(lit(1)).cast("double").as("n_before"),
-            count(when(col("__after"), lit(1))).cast("double").as("n_after"),
-            sum(when(col("__after") && col("__times") >= 1, col("__times"))
-              .otherwise(0L)).cast("double").as("n_expand"))
-          .collect() }
-          .groupBy(_.getString(0))
-        for (i <- minedInstances) {
-          val rows = hists(i)
-          val beforeHist = rows.map(r => r.getInt(1) -> r.getDouble(2)).toMap
-          val afterHist = rows.map(r => r.getInt(1) -> r.getDouble(3)).toMap
-          val expandHist = rows.map(r => r.getInt(1) -> r.getDouble(4)).toMap
-          val items: Seq[Item] = attributes.map(a => (a, modes(i)(a)))
-          rcOut(i) = mineFromHists(items, beforeHist, afterHist, expandHist,
-            traceFor(i), roundFor(i))
-          totals(i) = (beforeHist.values.sum, afterHist.values.sum)
+        minedRows match {
+          case Some(byInst) =>
+            // driver-mine: the three per-mask histograms from the held
+            // rows (RobustSpot.mineHists — exact long counts, the same
+            // numbers the distributed pass produced) — no action
+            for (i <- minedInstances) {
+              val items: Seq[Item] = attributes.map(a => (a, modes(i)(a)))
+              val (beforeHist, afterHist, expandHist) =
+                RobustSpot.mineHists(byInst(i), items)
+              rcOut(i) = mineFromHists(items, beforeHist, afterHist, expandHist,
+                traceFor(i), roundFor(i))
+              totals(i) = (beforeHist.values.sum, afterHist.values.sum)
+            }
+          case None =>
+            val modesDf = minedInstances.map(i => (i, modes(i))).toDF("__mi", "__modes")
+            val mask = attributes.zipWithIndex.map { case (a, i) =>
+              when(col(a) === element_at(col("__modes"), lit(a)), 1 << i).otherwise(0)
+            }.reduce(_ + _)
+            val hists = timed("hists") { flagged.join(broadcast(modesDf), inst === col("__mi"))
+              .groupBy(inst.as("__i"), mask.as("mask"))
+              .agg(
+                count(lit(1)).cast("double").as("n_before"),
+                count(when(col("__after"), lit(1))).cast("double").as("n_after"),
+                sum(when(col("__after") && col("__times") >= 1, col("__times"))
+                  .otherwise(0L)).cast("double").as("n_expand"))
+              .collect() }
+              .groupBy(_.getString(0))
+            for (i <- minedInstances) {
+              val rows = hists(i)
+              val beforeHist = rows.map(r => r.getInt(1) -> r.getDouble(2)).toMap
+              val afterHist = rows.map(r => r.getInt(1) -> r.getDouble(3)).toMap
+              val expandHist = rows.map(r => r.getInt(1) -> r.getDouble(4)).toMap
+              val items: Seq[Item] = attributes.map(a => (a, modes(i)(a)))
+              rcOut(i) = mineFromHists(items, beforeHist, afterHist, expandHist,
+                traceFor(i), roundFor(i))
+              totals(i) = (beforeHist.values.sum, afterHist.values.sum)
+            }
         }
       }
       scored.unpersist() // no-op when the round didn't cache
-      (rcOut.toMap, flagged, totals.toMap, frameRows)
+      (rcOut.toMap, flagged, totals.toMap, frameRows, minedRows)
     }
 
     // ---- 7-round drill-down (robustspot.py:56-69), corpus-wide
     val rc = collection.mutable.Map.empty[String, Array[Seq[Cause]]]
     for (i <- allInstances) rc(i) = Array.fill[Seq[Cause]](7)(Seq.empty)
 
-    val (rc0, flagged0, totals0, corpusRows) =
+    val (rc0, flagged0, totals0, corpusRows, mined0) =
       roundPass(_ => 0, adapted, persistFlags = true)
     for ((i, cs) <- rc0) rc(i)(0) = cs
 
@@ -452,7 +527,7 @@ object BatchRobustSpot {
           .filter(!matchesCause(col("__c1")))
           .withColumn(instanceCol, col("__k"))
           .drop("__k", "__di", "__c1")
-        val (rcA, flA, _, _) = roundPass(k => 2 * chainOf(k) - 1, frameA, chainSink(bufsA))
+        val (rcA, flA, _, _, _) = roundPass(k => 2 * chainOf(k) - 1, frameA, chainSink(bufsA))
         flA.unpersist()
         for ((k, cs) <- rcA) { val (i, c) = splitKey(k); rc(i)(2 * c - 1) = cs }
 
@@ -469,7 +544,7 @@ object BatchRobustSpot {
             .filter(!matchesCause(col("__c1")) && !matchesCause(col("__c2")))
             .withColumn(instanceCol, col("__k"))
             .drop("__k", "__di", "__c1", "__c2")
-          val (rcB, flB, _, _) = roundPass(k => 2 * chainOf(k), frameB, chainSink(bufsB))
+          val (rcB, flB, _, _, _) = roundPass(k => 2 * chainOf(k), frameB, chainSink(bufsB))
           flB.unpersist()
           for ((k, cs) <- rcB) { val (i, c) = splitKey(k); rc(i)(2 * c) = cs }
         }
@@ -500,7 +575,7 @@ object BatchRobustSpot {
               val drops1 = active1.map(i => (i, rc(i)(0)(dim1 - 1).toMap)).toDF("__di", "__c1")
               val frame1 = adapted.join(broadcast(drops1), inst === col("__di"))
                 .filter(!matchesCause(col("__c1"))).drop("__di", "__c1")
-              val (rc1, fl1, _, _) = roundPass(_ => i1, frame1, buf.append(_))
+              val (rc1, fl1, _, _, _) = roundPass(_ => i1, frame1, buf.append(_))
               frames += fl1
               for ((i, cs) <- rc1) rc(i)(i1) = cs
 
@@ -511,7 +586,7 @@ object BatchRobustSpot {
                 val frame2 = adapted.join(broadcast(drops2), inst === col("__di"))
                   .filter(!matchesCause(col("__c1")) && !matchesCause(col("__c2")))
                   .drop("__di", "__c1", "__c2")
-                val (rc2, fl2, _, _) = roundPass(_ => i1 + 1, frame2, buf.append(_))
+                val (rc2, fl2, _, _, _) = roundPass(_ => i1 + 1, frame2, buf.append(_))
                 frames += fl2
                 for ((i, cs) <- rc2) rc(i)(i1 + 1) = cs
               }
@@ -566,7 +641,24 @@ object BatchRobustSpot {
           val keeps = keepOf(i).values.filter(_.nonEmpty).toSeq
           i -> (mergeRes0(i).flatten ++ keeps ++ keeps.map(_.sortBy(_._1))).distinct
         }.toMap
-        val allCounts = batchCounts(allCauses)
+        val allCounts: Map[(String, Int), (Long, Long)] = mined0 match {
+          case Some(byInst) =>
+            // round 0 was driver-mined: every support count is a scan of
+            // the held rows — no batchCounts action (round 14). Cause
+            // match = every item's attribute equals its value, like
+            // matchesCause (a null attribute value never equals one).
+            val attrIdx = attributes.zipWithIndex.toMap
+            allCauses.toSeq.flatMap { case (i, cs) =>
+              val rows = byInst.getOrElse(i, Array.empty[RobustSpot.MineRow])
+              cs.zipWithIndex.map { case (c, idx) =>
+                def m(r: RobustSpot.MineRow) =
+                  c.forall { case (a, v) => r.values(attrIdx(a)) == v }
+                (i, idx) -> (rows.count(m(_)).toLong,
+                  rows.count(r => r.after && m(r)).toLong)
+              }
+            }.toMap
+          case None => batchCounts(allCauses)
+        }
 
         val collapsed: Map[String, Seq[Seq[Cause]]] = withResults.map { i =>
           val idxOf = allCauses(i).zipWithIndex.toMap

@@ -211,6 +211,7 @@ object BatchSqueeze {
     var active: Set[(String, Int)] = activePairs0
 
     var layer = 1
+    try {
     while (layer <= attributes.size && active.nonEmpty) {
       val cuboids = attributes.combinations(layer).toSeq
       val activeDf = joined.join(
@@ -323,7 +324,12 @@ object BatchSqueeze {
           val rc = pl.elems.map(e => Element(cuboid, e._1)).toSeq
           buf += CuboidResult(pl.cid, layer, rc, Double.NegativeInfinity, pl.elems.length)
         } else {
-          val (nSubTotal, l1SubTotal) = totalsFuture.get()((pl.inst, pl.cl))
+          // ADVICE r13: fail diagnosably if the activePairs0 == totals
+          // keySet invariant (argued above) is ever broken by a future
+          // change — a bare Map apply would throw an opaque
+          // NoSuchElementException deep inside scoring
+          val (nSubTotal, l1SubTotal) = totalsFuture.get().getOrElse((pl.inst, pl.cl),
+            sys.error(s"no subset totals for ${pl.inst}/${pl.cl}"))
           val l1aRow = l1Terms.get((pl.inst, pl.cl, pl.cid))
           var cumN = 0L
           val cumL1 = ExactSum.newAcc()
@@ -360,6 +366,10 @@ object BatchSqueeze {
       active = active.filter(k => !results(k).exists(_.score > opt.psUpperBound))
       layer += 1
     }
+    // ADVICE r13: if the layer loop unwinds before the first get(), the
+    // detached totals action must not keep running as a zombie job —
+    // cancel is a no-op once the task completed
+    } finally totalsFuture.cancel(true)
     joined.unpersist(); df.unpersist()
 
     // per (instance, cluster): best rank wins (stable ties keep

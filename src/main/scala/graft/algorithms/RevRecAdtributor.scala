@@ -81,7 +81,19 @@ object RevRecAdtributor {
     * buffer flushed in the sequential depth-first order, so the trace
     * stream — and every collected number — is identical to the
     * sequential loop's. */
-  def run(df: DataFrame, dims: Seq[String], opt: Options = Options()): Seq[Candidate] = {
+  def run(df: DataFrame, dims: Seq[String], opt: Options = Options()): Seq[Candidate] =
+    runAtDepth(df, dims, opt, depth = 0)
+
+  /** ADVICE r13: every recursion node used to open its own 4-thread pool,
+    * so total in-flight driver threads (and Spark jobs) grew ~4^depth with
+    * no global bound. Concurrency is now confined to the top TWO recursion
+    * levels (<= 4 + 16 tasks in flight — where nearly all overlap-able
+    * jobs live); deeper nodes recurse sequentially inside their parent's
+    * thread. Results and the flushed trace stream are unchanged: the
+    * sequential order below depth 2 is exactly the buffered depth-first
+    * order the concurrent version flushed. */
+  private def runAtDepth(df: DataFrame, dims: Seq[String], opt: Options,
+      depth: Int): Seq[Candidate] = {
     val explanatory = revAdtributor(df, dims, opt)
 
     // one task per (candidate, element) that needs a deeper recursion
@@ -94,12 +106,16 @@ object RevRecAdtributor {
       }
     val subResults: Map[(Int, Seq[(String, String)]), Seq[Candidate]] =
       if (subs.isEmpty) Map.empty
+      else if (depth >= 2) subs.map { case (ci, elem, dim, remaining) =>
+        val sub = df.filter(col(dim) === elem.head._2)
+        (ci, elem) -> runAtDepth(sub, remaining, opt, depth + 1)
+      }.toMap
       else graft.core.Concurrency.awaitAll(subs.map {
         case (ci, elem, dim, remaining) => () => {
           val buf = collection.mutable.ArrayBuffer.empty[String]
           val copt = opt.copy(trace = buf.append(_))
           val sub = df.filter(col(dim) === elem.head._2)
-          ((ci, elem), run(sub, remaining, copt), buf)
+          ((ci, elem), runAtDepth(sub, remaining, copt, depth + 1), buf)
         }
       }).map { case (k, r, buf) => buf.foreach(opt.trace); k -> r }.toMap
 

@@ -57,6 +57,17 @@ object RobustSpot {
         * distribution statistic; an unbounded collect is O(snapshot rows)
         * and would blow the driver at 24M-row instances (r7 H rehearsal). */
       idSampleCap: Long = 2000000L,
+      /** Driver-mine cap (round 14, guide §1.2): when a round's frame fits
+        * this many rows (and no knee thinning applies), ONE collect of the
+        * scored leaf rows replaces the knee, modes and histogram actions —
+        * the mining arithmetic (threshold screen, int-truncated weights,
+        * weighted modes, bitmask supports) runs on the driver over the
+        * same IEEE doubles the distributed expressions produced, so every
+        * count/sum is bit-identical (all integers < 2^53). Above the cap
+        * the distributed passes run unchanged — this is a small-frame
+        * round-trip eliminator, the same dispatch idea as idSampleCap,
+        * not the scale path. 0 disables (measurement A/Bs). */
+      driverMineCap: Long = 500000L,
       /** Per-round debug tracing (the reference's --debug analogue):
         * receives screening/mode/top-5/final lines. */
       trace: String => Unit = _ => ())
@@ -169,8 +180,31 @@ object RobustSpot {
 
   // --------------------------------------------------------- select/expand
 
+  /** One scored leaf row held on the driver (the driver-mine fast path,
+    * Options.driverMineCap): attribute values in `attributes` order plus
+    * the distributed-computed ID/CA doubles (null collected as NaN — both
+    * fail every strict `>` screen exactly like the SQL NULL did) and the
+    * screening flag / int-truncated expansion weight derived from them
+    * with the same IEEE-754 ops the Catalyst expressions used. */
+  private[algorithms] final case class MineRow(values: Array[String],
+      id: Double, ca: Double, after: Boolean, times: Long)
+
+  private[algorithms] def mkMineRows(raw: Array[(Array[String], Double, Double)],
+      threshold: Double, opt: Options): Array[MineRow] =
+    raw.map { case (vals, id, ca) =>
+      // afterCond: !isnan(ID) && ID > knee && CA > caThreshold (NaN fails
+      // every >, like SQL NULL/NaN); times: int() truncation toward zero,
+      // (ID * CA) * lambda in the same association Catalyst used
+      val after = !id.isNaN && id > threshold && ca > opt.caThreshold
+      val times =
+        if (opt.derived) (id * ca * opt.lambdaAmplification).toLong
+        else (id * opt.lambdaAmplification).toLong
+      MineRow(vals, id, ca, after, times)
+    }
+
   private final case class RoundState(before: DataFrame,
-      scoredWithTimes: DataFrame, cached: DataFrame) {
+      scoredWithTimes: DataFrame, cached: DataFrame,
+      mined: Option[Array[MineRow]] = None) {
     /** The weighted expansion rows (screened, positive times). */
     def expand: DataFrame = scoredWithTimes
       .filter(col("__after") && col("__times") >= 1)
@@ -198,8 +232,34 @@ object RobustSpot {
     //    array<double> per partition (collect_vector), never boxed Rows;
     //    opt.idSampleFraction bounds the driver vector. Note Spark orders
     //    NaN greater than any number, so the isnan guard precedes > 0.
+    // Driver-mine fast path (round 14, guide §1.2): when the frame fits
+    // Options.driverMineCap (and no knee thinning applies — frac is 1
+    // anyway), ONE collect of the scored rows serves the knee input AND
+    // the round's mining passes (weighted modes, bitmask histograms) and
+    // the final support counts — 1 action instead of 3 per round plus the
+    // final count pass. The dumpIdCa debug path keeps the distributed
+    // collects (its trace reads __row).
+    val dumpIdCa = sys.props.contains("graft.rs.dumpIdCa") ||
+      sys.env.contains("GRAFT_RS_DUMP_IDCA")
+    val driverRaw: Option[Array[(Array[String], Double, Double)]] =
+      if (before.columns.contains("__row") || dumpIdCa ||
+        opt.idSampleFraction < 1.0 ||
+        s.n > math.min(opt.idSampleCap, opt.driverMineCap)) None
+      else {
+        val n = attrs.length
+        val collected = scored.select(attrs.map(col) :+ col("ID") :+ col("CA"): _*).collect()
+        Some(collected.map { r =>
+          (Array.tabulate(n)(i => r.getString(i)),
+            if (r.isNullAt(n)) Double.NaN else r.getDouble(n),
+            if (r.isNullAt(n + 1)) Double.NaN else r.getDouble(n + 1))
+        })
+      }
     val ids: Array[Double] =
-      if (before.columns.contains("__row")) {
+      if (driverRaw.isDefined) {
+        // same vector the distributed path collected: NaN/non-positive IDs
+        // screened, ascending sort (no thinning — frac is 1 under the cap)
+        driverRaw.get.collect { case (_, id, _) if !id.isNaN && id > 0 => id }.sorted
+      } else if (before.columns.contains("__row")) {
         val pairs = scored.select(col("__row").cast("long"), col("ID")).collect()
           .map(r => (r.getLong(0), if (r.isNullAt(1)) Double.NaN else r.getDouble(1)))
           .sortBy(_._1).map(_._2)
@@ -258,7 +318,8 @@ object RobustSpot {
       if (opt.derived) (col("ID") * col("CA") * opt.lambdaAmplification).cast("long")
       else (col("ID") * opt.lambdaAmplification).cast("long")
     val swt = scored.withColumn("__after", afterCond).withColumn("__times", times)
-    RoundState(scored.drop("ID", "CA"), swt, scored)
+    RoundState(scored.drop("ID", "CA"), swt, scored,
+      mined = driverRaw.map(mkMineRows(_, threshold, opt)))
   }
 
   // --------------------------------------------------------------- mining
@@ -282,12 +343,66 @@ object RobustSpot {
   private[algorithms] def supp(hist: Map[Int, Double], bits: Int): Double =
     hist.collect { case (m, c) if (m & bits) == bits => c }.sum
 
+  /** The weighted modes + three bitmask histograms of one mining round,
+    * computed on the driver over collected [[MineRow]]s — value-identical
+    * to the distributed weightedModes + mask-histogram aggregations: every
+    * count/weight is exact long arithmetic cast to double at the end
+    * (integers < 2^53), the mode tie-break is the same (-count, value)
+    * ordering, and a null attribute value can never equal a (non-null)
+    * mode value, like the SQL `===`. Shared by the sequential path and
+    * BatchRobustSpot's per-instance driver-mine. */
+  private[algorithms] def mineDriver(rows: Array[MineRow], attrs: Seq[String],
+      opt: Options, round: Int): Seq[Cause] = {
+    val expandRows = rows.filter(r => r.after && r.times >= 1)
+    if (expandRows.isEmpty) { opt.trace(s"ROUND $round: empty expansion"); return Seq.empty }
+    val items: Seq[Item] = attrs.indices.map { i =>
+      val counts = collection.mutable.Map.empty[String, Long]
+      expandRows.foreach { r =>
+        counts(r.values(i)) = counts.getOrElse(r.values(i), 0L) + r.times
+      }
+      attrs(i) -> counts.minBy { case (v, c) => (-c, v) }._1
+    }
+    val (beforeHist, afterHist, expandHist) = mineHists(rows, items)
+    mineFromHists(items, beforeHist, afterHist, expandHist, opt, round)
+  }
+
+  /** The three per-mask support histograms over collected rows (bit i set
+    * iff attribute i equals its mode item). */
+  private[algorithms] def mineHists(rows: Array[MineRow], items: Seq[Item])
+      : (Map[Int, Double], Map[Int, Double], Map[Int, Double]) = {
+    val nBefore = collection.mutable.Map.empty[Int, Long]
+    val nAfter = collection.mutable.Map.empty[Int, Long]
+    val nExpand = collection.mutable.Map.empty[Int, Long]
+    rows.foreach { r =>
+      var m = 0
+      var i = 0
+      while (i < items.length) { if (r.values(i) == items(i)._2) m |= 1 << i; i += 1 }
+      nBefore(m) = nBefore.getOrElse(m, 0L) + 1L
+      if (r.after) {
+        nAfter(m) = nAfter.getOrElse(m, 0L) + 1L
+        if (r.times >= 1) nExpand(m) = nExpand.getOrElse(m, 0L) + r.times
+      }
+    }
+    // the distributed groupBy(mask) emits one row per PRESENT mask with
+    // all three counts (zeros included) — mirror that key set
+    val masks = nBefore.keySet
+    (masks.iterator.map(m => m -> nBefore(m).toDouble).toMap,
+      masks.iterator.map(m => m -> nAfter.getOrElse(m, 0L).toDouble).toMap,
+      masks.iterator.map(m => m -> nExpand.getOrElse(m, 0L).toDouble).toMap)
+  }
+
   /** One mining round (mining.py:76-107): association rules over the
     * mode-itemset power set, confidence filter, support-delta top-5.
     * All three support tables (weighted expand, before, after) come from
     * ONE bitmask-histogram pass over the round's scored frame — every
-    * itemset/rule support is then a driver-side sum. */
+    * itemset/rule support is then a driver-side sum (or, when the round
+    * collected its rows under driverMineCap, from the driver-held rows
+    * with no action at all). */
   private def mine(state: RoundState, attrs: Seq[String], opt: Options, round: Int = -1): Seq[Cause] = {
+    state.mined match {
+      case Some(rows) => return mineDriver(rows, attrs, opt, round)
+      case None =>
+    }
     val modes = weightedModes(state.expand, attrs)
     if (modes.isEmpty) { opt.trace(s"ROUND $round: empty expansion"); return Seq.empty } // mining.py degenerate case
     val items: Seq[Item] = attrs.map(a => (a, modes(a)))
@@ -513,21 +628,40 @@ object RobustSpot {
     // the __after-screened rows, so both counts ride one frame.
     val allCauses = (dimCauses ++ mergeRes.flatten ++
       keepOf.values.filter(_.nonEmpty).map(_.sortBy(_._1))).distinct
-    val swt0 = states(0).scoredWithTimes
-    val countAggs = Seq(count(lit(1)).as("t_b"),
-      count(when(col("__after"), lit(1))).as("t_a")) ++
-      allCauses.zipWithIndex.flatMap { case (cz, i) =>
-        val m = cz.map { case (a, v) => col(a) === lit(v) }.reduce(_ && _)
-        Seq(count(when(m, lit(1))).as(s"b_$i"),
-          count(when(m && col("__after"), lit(1))).as(s"a_$i"))
-      }
-    val cr = swt0.agg(countAggs.head, countAggs.tail: _*).collect()(0)
-    val nBefore0 = cr.getLong(0).toDouble
-    val nAfter0 = cr.getLong(1).toDouble
-    val beforeCounts: Map[Cause, Long] =
-      allCauses.zipWithIndex.map { case (cz, i) => cz -> cr.getLong(2 + 2 * i) }.toMap
-    val afterCounts: Map[Cause, Long] =
-      allCauses.zipWithIndex.map { case (cz, i) => cz -> cr.getLong(3 + 2 * i) }.toMap
+    val (nBefore0, nAfter0, beforeCounts, afterCounts) = states(0).mined match {
+      case Some(rows) =>
+        // round 0 was driver-mined: every support count is a scan of the
+        // held rows — the final fused count pass costs no action at all
+        // (round 14). A cause matches iff every item's attribute equals
+        // its value (a null attribute value never equals a mode value,
+        // like the SQL `===`).
+        val attrIdx = attributes.zipWithIndex.toMap
+        def matches(r: MineRow, cz: Cause): Boolean =
+          cz.forall { case (a, v) => r.values(attrIdx(a)) == v }
+        (rows.length.toDouble, rows.count(_.after).toDouble,
+          allCauses.map(cz => cz -> rows.count(r => matches(r, cz)).toLong).toMap,
+          allCauses.map(cz => cz -> rows.count(r => matches(r, cz) && r.after).toLong).toMap)
+      case None =>
+        val swt0 = states(0).scoredWithTimes
+        val countAggs = Seq(count(lit(1)).as("t_b"),
+          count(when(col("__after"), lit(1))).as("t_a")) ++
+          allCauses.zipWithIndex.flatMap { case (cz, i) =>
+            val m = cz.map { case (a, v) => col(a) === lit(v) }.reduce(_ && _)
+            Seq(count(when(m, lit(1))).as(s"b_$i"),
+              count(when(m && col("__after"), lit(1))).as(s"a_$i"))
+          }
+        // ADVICE r13: make a potential whole-stage-codegen fallback of this
+        // wide single-row aggregate visible in bench evidence
+        if (countAggs.length > 2000)
+          System.err.println(s"[robustspot] final count agg width ${countAggs.length}" +
+            " — check for codegen fallback")
+        val cr = swt0.agg(countAggs.head, countAggs.tail: _*).collect()(0)
+        val bc: Map[Cause, Long] =
+          allCauses.zipWithIndex.map { case (cz, i) => cz -> cr.getLong(2 + 2 * i) }.toMap
+        val ac: Map[Cause, Long] =
+          allCauses.zipWithIndex.map { case (cz, i) => cz -> cr.getLong(3 + 2 * i) }.toMap
+        (cr.getLong(0).toDouble, cr.getLong(1).toDouble, bc, ac)
+    }
     mergeRes = collapseEntries(mergeRes, keepOf, c => beforeCounts(c).toDouble, nBefore0)
     mergeRes = dedupeEntries(mergeRes)
     val result = rankEntries(mergeRes, c => beforeCounts(c).toDouble,

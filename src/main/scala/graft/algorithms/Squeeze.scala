@@ -244,19 +244,24 @@ object Squeeze {
     // after the join — concurrent runs emit the SAME trace stream as the
     // sequential loop did (SqTrace diffs against the reference rely on
     // deterministic line order).
-    val rootCauses = graft.core.Concurrency.awaitAll(
-      intervals.zipWithIndex.map { case ((lo, hi), idx) => () => {
-        val buf = collection.mutable.ArrayBuffer.empty[String]
-        val copt = opt.copy(trace = buf.append(_))
-        val members = devs.filter(d => d >= lo && d <= hi)
-        copt.trace(s"CLUSTER n=${members.length} devmin=${members.min} devmax=${members.max}")
-        val rc = locateInCluster(df, attributes, lo, hi, isNormal, scoreWeight,
-          () => subTotalsFuture.get()(idx), copt)
-        rc.foreach(r => copt.trace(s"  PICK ${r.map(_.label).sorted.mkString(";")}"))
-        (rc, buf)
-      } })
-      .map { case (rc, buf) => buf.foreach(opt.trace); rc }
-      .collect { case Some(rc) => rc }
+    val rootCauses =
+      try graft.core.Concurrency.awaitAll(
+        intervals.zipWithIndex.map { case ((lo, hi), idx) => () => {
+          val buf = collection.mutable.ArrayBuffer.empty[String]
+          val copt = opt.copy(trace = buf.append(_))
+          val members = devs.filter(d => d >= lo && d <= hi)
+          copt.trace(s"CLUSTER n=${members.length} devmin=${members.min} devmax=${members.max}")
+          val rc = locateInCluster(df, attributes, lo, hi, isNormal, scoreWeight,
+            () => subTotalsFuture.get()(idx), copt)
+          rc.foreach(r => copt.trace(s"  PICK ${r.map(_.label).sorted.mkString(";")}"))
+          (rc, buf)
+        } })
+        .map { case (rc, buf) => buf.foreach(opt.trace); rc }
+        .collect { case Some(rc) => rc }
+      // ADVICE r13: if the cluster searches unwind (failure/interrupt)
+      // before any get(), the detached totals action must not keep running
+      // as a zombie job — cancel is a no-op once the task completed
+      finally subTotalsFuture.cancel(true)
 
     df.unpersist(); base.unpersist()
     Labels.canonicalPredictions(
