@@ -532,7 +532,14 @@ object BatchRiskLoc {
         // metric accumulators are GC-cleaned — every checkpoint task then
         // logs an ERROR accumulator-update failure (observed round 13;
         // results unaffected, but 60 stack traces per run is not hygiene
-        // worth one scheduler round-trip per iteration)
+        // worth one scheduler round-trip per iteration). Re-measured
+        // round 14 (VERDICT #5): lazy read q47 7.99s vs eager 9.02s, but
+        // the untouched q40 control moved by the same ratio in the same
+        // window (5.62 vs 6.49 — window drift, not the checkpoint), and
+        // the lazy run tripled the accumulator ERROR noise (288 vs 96
+        // lines) because the materialization also races the next wave's
+        // two concurrent first actions (the C8 duplicate-compute hazard).
+        // Null result; eager kept.
         val next = df.filter(!removeCond).localCheckpoint(true)
         toUnpersist = Some(df)
         df = next

@@ -86,12 +86,15 @@ object RevRecAdtributor {
 
   /** ADVICE r13: every recursion node used to open its own 4-thread pool,
     * so total in-flight driver threads (and Spark jobs) grew ~4^depth with
-    * no global bound. Concurrency is now confined to the top TWO recursion
-    * levels (<= 4 + 16 tasks in flight — where nearly all overlap-able
-    * jobs live); deeper nodes recurse sequentially inside their parent's
-    * thread. Results and the flushed trace stream are unchanged: the
-    * sequential order below depth 2 is exactly the buffered depth-first
-    * order the concurrent version flushed. */
+    * no global bound. Concurrency is now confined to the top THREE
+    * recursion levels (<= 4 + 16 + 64 tasks in flight — in practice far
+    * fewer, and the levels where nearly all overlap-able jobs live; at
+    * the gate's 3 attributes depth-3 nodes never recurse, so this keeps
+    * the round-13 measured overlap shape intact); deeper nodes recurse
+    * sequentially inside their parent's thread. Results and the flushed
+    * trace stream are unchanged: the sequential order below the cap is
+    * exactly the buffered depth-first order the concurrent version
+    * flushed. */
   private def runAtDepth(df: DataFrame, dims: Seq[String], opt: Options,
       depth: Int): Seq[Candidate] = {
     val explanatory = revAdtributor(df, dims, opt)
@@ -106,7 +109,7 @@ object RevRecAdtributor {
       }
     val subResults: Map[(Int, Seq[(String, String)]), Seq[Candidate]] =
       if (subs.isEmpty) Map.empty
-      else if (depth >= 2) subs.map { case (ci, elem, dim, remaining) =>
+      else if (depth >= 3) subs.map { case (ci, elem, dim, remaining) =>
         val sub = df.filter(col(dim) === elem.head._2)
         (ci, elem) -> runAtDepth(sub, remaining, opt, depth + 1)
       }.toMap
