@@ -108,16 +108,23 @@ object BatchRobustSpot {
     * first order, both paths JIT-warmed, equal=true, 192 causes;
     * CROSSOVER.md round-12). Chains pay per-instance-count scan work
     * every round; fused stays two passes per A/B-round pair regardless.
-    * Threshold covers the measured range (now through 30.72M); above it
+    * Round 14 bracketed the next cell at the H per-instance shape:
+    * 9.6M x 4 = 38.4M rows, same JVM config, same corpus, same window —
+    * fused 597.9s / 58 jobs / 32.0GB heap high-water vs chains 767.3s /
+    * 130 jobs / 38.5GB (and serial chains 1354.3s: the chain overlap is
+    * confirmed worth 1.77x, H_SCALE.md round-14). Fused wins on wall
+    * AND on the structural counters that don't drift with box weather
+    * (jobs, heap).
+    * Threshold covers the measured range (now through 38.4M); above it
     * is unmeasured on cached-fused code — the 3x pseudo frame's cache
     * footprint argues against extrapolating to the H shape (288M cached
     * rows), so chains keep very large corpora until a quiet round
-    * brackets the next cell (480k x 128 = 61.4M).
+    * brackets the next cell.
     * GRAFT_BRS_FUSE_MAX (env) / graft.brs.fuseMax (sysprop, re-read at
     * each run() so an in-JVM A/B harness can flip modes between calls)
     * override the threshold for crossover measurement only (0 forces
     * chains, a huge value forces fused) — never set in production. */
-  private val FuseChainsMaxRowsDefault: Long = 31000000L
+  private val FuseChainsMaxRowsDefault: Long = 38400000L
 
   /** Measurement-harness knob overrides, parsed ONCE per [[run]]
     * invocation with a clear error (ADVICE r11: the previous per-use-site
